@@ -1,0 +1,88 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths are
+exercised without TPU hardware; set before any jax import.
+"""
+import os
+import subprocess
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REPO = Path(__file__).resolve().parent.parent
+REFBUILD = Path(os.environ.get("REFBUILD", "/tmp/refbuild"))
+HARNESS = REFBUILD / "harness"
+STREAMS = Path("/tmp/heaac_test_streams")
+
+
+def _have_reference() -> bool:
+    return (HARNESS / "ref_decode").exists()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "golden: requires the built reference oracle")
+
+
+@pytest.fixture(scope="session")
+def ref_harness():
+    """Paths to the reference-linked harness binaries (builds them if the
+    reference tree is available)."""
+    if not _have_reference():
+        if Path("/root/reference/configure").exists():
+            subprocess.run(["sh", str(REPO / "tools/setup_reference.sh")],
+                           check=True)
+    if not _have_reference():
+        pytest.skip("reference oracle not available")
+    return {
+        "imdct": str(HARNESS / "ref_imdct"),
+        "decode": str(HARNESS / "ref_decode"),
+        "encode": str(HARNESS / "ref_encode"),
+    }
+
+
+def gen_pcm(path: Path, sr: int, channels: int, seconds: float = 2.0,
+            seed: int = 0) -> None:
+    """Synthesize a spectrally-rich int16 PCM test signal with transients."""
+    rng = np.random.default_rng(seed)
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+    chans = []
+    for c in range(channels):
+        x = (0.5 * np.sin(2 * np.pi * (150 + 1800 * t + 120 * c) * t)
+             + 0.2 * np.sin(2 * np.pi * (2500 + 400 * c) * t)
+             + 0.02 * rng.standard_normal(n))
+        for p in range(sr // 4, n, sr // 3):
+            x[p:p + 64] += np.hanning(64)[: max(0, min(64, n - p))] * 0.7
+        chans.append(x)
+    pcm = np.stack(chans, axis=-1)
+    np.clip(pcm * 18000, -32768, 32767).astype(np.int16).tofile(path)
+
+
+@pytest.fixture(scope="session")
+def stream_factory(ref_harness):
+    """Returns make(name, sr, ch, bitrate) -> (adts_path, golden_pcm_path)."""
+    STREAMS.mkdir(exist_ok=True)
+
+    def make(name: str, sr: int, ch: int, bitrate: int, seconds: float = 2.0,
+             seed: int = 0):
+        aac = STREAMS / f"{name}.aac"
+        gold = STREAMS / f"{name}.gold.pcm"
+        if not aac.exists():
+            raw = STREAMS / f"{name}.raw.pcm"
+            gen_pcm(raw, sr, ch, seconds, seed)
+            subprocess.run([ref_harness["encode"], str(raw), str(sr),
+                            str(ch), str(bitrate), str(aac)], check=True)
+        if not gold.exists():
+            subprocess.run([ref_harness["decode"], str(aac), str(gold)],
+                           check=True, capture_output=True)
+        return aac, gold
+
+    return make

@@ -1,0 +1,15 @@
+#!/bin/sh
+# Build the reference-linked validation harnesses.
+# Requires the reference static libs built in $REFBUILD (see BASELINE.md).
+set -e
+REF=${REF:-/root/reference}
+REFBUILD=${REFBUILD:-/tmp/refbuild}
+OUT=${OUT:-/tmp/refbuild/harness}
+mkdir -p "$OUT"
+CFLAGS="-O2 -fcommon -fgnu89-inline -I$REF -I$REFBUILD"
+LIBS="$REFBUILD/libavcodec/libavcodec.a $REFBUILD/libavutil/libavutil.a -lm -lz"
+HERE=$(dirname "$0")
+gcc $CFLAGS -o "$OUT/ref_imdct" "$HERE/ref_imdct.c" $LIBS
+gcc $CFLAGS -o "$OUT/ref_decode" "$HERE/ref_decode.c" $LIBS
+gcc $CFLAGS -o "$OUT/ref_encode" "$HERE/ref_encode.c" $LIBS
+echo "built: $OUT/ref_imdct $OUT/ref_decode $OUT/ref_encode"
