@@ -327,8 +327,9 @@ class Decoder:
             li1 = lane_of.get((key[0], key[1], 1), li0)
             L = ret[li0]
             R = ret[li1] if li1 != li0 else np.zeros(2048, np.float32)
+            from ..ops.ps_np import ps_apply
             sbr_np.sbr_apply(self.m4ac, el.sbr, lane.elem_type, L, R,
-                             ps_apply=None)
+                             ps_apply=ps_apply)
             ret[li0] = L
             if li1 != li0:
                 ret[li1] = R

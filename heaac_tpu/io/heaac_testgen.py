@@ -67,7 +67,8 @@ class SbrStreamWriter:
                  crc: bool = False, grid_classes=(0, 1, 2, 3),
                  allow_df: bool = True, allow_harmonics: bool = True,
                  fix_num_env: int | None = None,
-                 invf_modes=(0, 1, 2, 3), env_hi_shift: int = 0):
+                 invf_modes=(0, 1, 2, 3), env_hi_shift: int = 0,
+                 ps_writer=None):
         self.rng = np.random.default_rng(seed)
         self.is_cpe = is_cpe
         self.crc = crc
@@ -85,6 +86,7 @@ class SbrStreamWriter:
         self.fix_num_env = fix_num_env
         self.invf_modes = tuple(invf_modes)
         self.env_hi_shift = env_hi_shift
+        self.ps_writer = ps_writer
         self.header_every = header_every
         self.no_header = no_header
         self.frame_idx = 0
@@ -468,7 +470,21 @@ class SbrStreamWriter:
             if add:
                 for _ in range(sbr.n[1]):
                     bw.put1(int(rng.integers(0, 5) == 0))
-        bw.put1(0)  # bs_extended_data
+        if self.ps_writer is not None:
+            sub = self.ps_writer.ps_payload()
+            total = 2 + sub.nbits
+            cnt = (total + 7) // 8
+            bw.put1(1)  # bs_extended_data
+            if cnt >= 15:
+                bw.put(4, 15)
+                bw.put(8, cnt - 15)
+            else:
+                bw.put(4, cnt)
+            bw.put(2, 2)  # EXTENSION_ID_PS (aacsbr.c:69)
+            bw.extend(sub)
+            bw.put(cnt * 8 - total, 0)
+        else:
+            bw.put1(0)  # bs_extended_data
         self.frame_idx += 1
         return bw
 
@@ -530,3 +546,179 @@ def splice_sbr_into_lc(lc_adts: bytes, writer: SbrStreamWriter) -> bytes:
         hdr[5] = (hdr[5] & 0x1F) | ((full_len & 7) << 5)
         out += bytes(hdr) + body
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Parametric Stereo payload generation (HE-AAC v2 test vectors)
+# ---------------------------------------------------------------------------
+class PsStreamWriter:
+    """Generates ps_data payloads (written into the SBR extended-data
+    container with extension id 2), mirroring the decoder's delta state."""
+
+    def __init__(self, seed: int = 0, iid_mode: int = 1, icc_mode: int = 1,
+                 enable_iid: bool = True, enable_icc: bool = True,
+                 enable_ipdopd: bool = False, allow_dt: bool = True,
+                 frame_classes=(0, 1), header_every: int = 100):
+        from ..bitstream import ps_syntax as PSyn
+        self.PSyn = PSyn
+        self.rng = np.random.default_rng(seed + 1000)
+        self.iid_mode = iid_mode
+        self.icc_mode = icc_mode
+        self.enable_iid = enable_iid
+        self.enable_icc = enable_icc
+        self.enable_ipdopd = enable_ipdopd
+        self.allow_dt = allow_dt
+        self.frame_classes = tuple(frame_classes)
+        self.header_every = header_every
+        self.frame_idx = 0
+        self.nr_iid_par = PSyn.NR_IIDICC_PAR_TAB[iid_mode]
+        self.nr_icc_par = PSyn.NR_IIDICC_PAR_TAB[icc_mode]
+        self.nr_ipdopd_par = PSyn.NR_IIDOPD_PAR_TAB[iid_mode]
+        self.iid_quant = int(iid_mode > 2)
+        # mirrored state
+        self.iid = np.zeros((6, 34), np.int64)
+        self.icc = np.zeros((6, 34), np.int64)
+        self.ipd = np.zeros((6, 34), np.int64)
+        self.opd = np.zeros((6, 34), np.int64)
+        self.num_env = 0
+
+    def _ps_enc(self, idx):
+        from ..tables import aac_tables as TT
+        r = TT.raw()
+        names = self.PSyn._PS_VLC_NAMES
+        return r[f"ps_{names[idx]}_codes"], r[f"ps_{names[idx]}_bits"]
+
+    def _write_par(self, bw, par, num, e, dt, table_idx, offset, lo, hi,
+                   mask=0):
+        codes, bits = self._ps_enc(table_idx)
+        if dt:
+            e_prev = e - 1 if e else max(self.num_env_old - 1, 0)
+            base_row = par[e_prev]
+        prev = 0
+        lo_d, hi_d = -offset, len(codes) - 1 - offset
+        for b in range(num):
+            base = int(base_row[b]) if dt else prev
+            if mask:
+                # wrapped values: any target reachable, delta = (val-base)&mask
+                val = int(self.rng.integers(lo, hi + 1))
+                delta = (val - base) & mask
+                val = (base + delta) & mask
+            else:
+                lo_t = max(lo, base + lo_d)
+                hi_t = min(hi, base + hi_d)
+                if lo_t > hi_t:
+                    val = min(max(min(max(base, lo), hi), base + lo_d),
+                              base + hi_d)
+                else:
+                    val = int(self.rng.integers(lo_t, hi_t + 1))
+                delta = val - base
+            sym = delta + offset
+            assert 0 <= sym < len(codes), (table_idx, delta, offset)
+            bw.put(int(bits[sym]), int(codes[sym]))
+            par[e][b] = val
+            prev = val
+        return
+
+    def ps_payload(self) -> BitWriter:
+        PSyn = self.PSyn
+        rng = self.rng
+        bw = BitWriter()
+        first = self.frame_idx == 0
+        header = first or (self.header_every
+                           and self.frame_idx % self.header_every == 0)
+        bw.put1(int(header))
+        if header:
+            bw.put1(int(self.enable_iid))
+            if self.enable_iid:
+                bw.put(3, self.iid_mode)
+            bw.put1(int(self.enable_icc))
+            if self.enable_icc:
+                bw.put(3, self.icc_mode)
+            bw.put1(int(self.enable_ipdopd))  # enable_ext
+
+        fc = int(self.frame_classes[rng.integers(0, len(self.frame_classes))])
+        ne_idx = int(rng.integers(0, 4))
+        num_env = PSyn.NUM_ENV_TAB[fc][ne_idx]
+        bw.put1(fc)
+        bw.put(2, ne_idx)
+        self.num_env_old = self.num_env
+        borders = []
+        if fc:
+            # increasing 5-bit borders; usually end at 31
+            end = 31 if rng.integers(0, 4) else int(rng.integers(8, 31))
+            pts = sorted(rng.choice(np.arange(1, max(end, 2)),
+                                    size=max(num_env - 1, 0), replace=False)
+                         .tolist()) if num_env > 1 else []
+            borders = pts + [end]
+            for bp in borders:
+                bw.put(5, int(bp))
+
+        iq = self.iid_quant
+        if self.enable_iid:
+            lim = 7 + 8 * iq
+            for e in range(num_env):
+                dt = int(self.allow_dt and not (first and e == 0)
+                         and rng.integers(0, 2))
+                bw.put1(dt)
+                tab = [PSyn.HUFF_IID_DF0, PSyn.HUFF_IID_DF1,
+                       PSyn.HUFF_IID_DT0, PSyn.HUFF_IID_DT1][2 * dt + iq]
+                from ..bitstream.ps_syntax import huff_offset
+                self._write_par(bw, self.iid, self.nr_iid_par, e, dt, tab,
+                                huff_offset(tab), -lim, lim)
+        else:
+            self.iid[:] = 0
+        if self.enable_icc:
+            for e in range(num_env):
+                dt = int(self.allow_dt and not (first and e == 0)
+                         and rng.integers(0, 2))
+                bw.put1(dt)
+                tab = PSyn.HUFF_ICC_DT if dt else PSyn.HUFF_ICC_DF
+                from ..bitstream.ps_syntax import huff_offset
+                self._write_par(bw, self.icc, self.nr_icc_par, e, dt, tab,
+                                huff_offset(tab), 0, 7)
+        else:
+            self.icc[:] = 0
+
+        if self.enable_ipdopd:  # ext container with ipdopd extension
+            sub = BitWriter()
+            sub.put1(1)  # enable_ipdopd
+            for e in range(num_env):
+                dt = int(self.allow_dt and not (first and e == 0)
+                         and rng.integers(0, 2))
+                sub.put1(dt)
+                self._write_par(sub, self.ipd, self.nr_ipdopd_par, e, dt,
+                                PSyn.HUFF_IPD_DT if dt else PSyn.HUFF_IPD_DF,
+                                0, 0, 7, mask=0x07)
+                dt = int(self.allow_dt and not (first and e == 0)
+                         and rng.integers(0, 2))
+                sub.put1(dt)
+                self._write_par(sub, self.opd, self.nr_ipdopd_par, e, dt,
+                                PSyn.HUFF_OPD_DT if dt else PSyn.HUFF_OPD_DF,
+                                0, 0, 7, mask=0x07)
+            sub.put1(0)  # reserved_ps
+            total = 2 + sub.nbits
+            cnt = (total + 7) // 8
+            if cnt >= 15:
+                bw.put(4, 15)
+                bw.put(8, cnt - 15)
+            else:
+                bw.put(4, cnt)
+            bw.put(2, 0)  # ps extension id 0 carries ipd/opd (aacps.c:120-126)
+            bw.extend(sub)
+            bw.put(cnt * 8 - total, 0)
+
+        # mirror the decoder's fake-envelope fixup (aacps.c:234-252)
+        if not num_env or (borders and borders[-1] < 31) or (fc and not borders):
+            source = num_env - 1 if num_env else self.num_env_old - 1
+            if source >= 0 and source != num_env:
+                if self.enable_iid:
+                    self.iid[num_env] = self.iid[source]
+                if self.enable_icc:
+                    self.icc[num_env] = self.icc[source]
+                if self.enable_ipdopd:
+                    self.ipd[num_env] = self.ipd[source]
+                    self.opd[num_env] = self.opd[source]
+            num_env += 1
+        self.num_env = num_env
+        self.frame_idx += 1
+        return bw

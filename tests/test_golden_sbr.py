@@ -107,3 +107,25 @@ def test_sbr_with_inverse_filtering(ref_harness):
     # on max and tightly on RMS (~ -60 dB)
     assert max_lsb <= 32, f"max LSB {max_lsb}"
     assert rel_rms < 1e-3, f"rel RMS {rel_rms}"
+
+
+# ---------------------------------------------------------------------------
+# HE-AAC v2 (Parametric Stereo)
+# ---------------------------------------------------------------------------
+@pytest.mark.golden
+@pytest.mark.parametrize("name,pskw", [
+    ("ps_baseline", dict(seed=2, iid_mode=1, icc_mode=1)),
+    ("ps_34band", dict(seed=4, iid_mode=2, icc_mode=2)),
+    ("ps_ipdopd", dict(seed=6, iid_mode=1, icc_mode=4, enable_ipdopd=True)),
+    ("ps_fine_iid", dict(seed=8, iid_mode=4, icc_mode=1)),
+    ("ps_noicc", dict(seed=10, iid_mode=1, enable_icc=False)),
+])
+def test_ps_golden(name, pskw, ref_harness):
+    from heaac_tpu.io.heaac_testgen import PsStreamWriter
+
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 15)
+    psw = PsStreamWriter(**pskw)
+    rate, max_lsb, _ = run_config(ref_harness, core, name, False, 24000,
+                                  seed=3, invf_modes=(0,), ps_writer=psw)
+    assert rate == 48000
+    assert max_lsb <= 2, f"max LSB {max_lsb}"
