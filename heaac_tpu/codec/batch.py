@@ -1,0 +1,202 @@
+"""Batched multi-stream decode: the throughput pipeline.
+
+Host front-end parses each stream's frames into dense plans
+(codec/frame_plan.py); the device decodes all B lanes per frame through the
+fused HE-AACv2 graph.  This is the TPU-native replacement for the
+reference's per-frame scalar loop — thousands of independent streams per
+batch (SURVEY.md §7 step 6).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.adts import parse_adts_header, split_adts_stream
+from ..bitstream.reader import BitReader
+from ..tables import aac_tables as T
+from . import frame_plan
+from .decoder import Decoder
+from .heaac_graph import HeaacState, init_state, jitted_heaac_frame
+
+
+class PlanningDecoder(Decoder):
+    """Parses a mono HE-AACv2 stream into per-frame device plans instead of
+    running the numpy DSP."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.frames_core = []
+        self.frames_sbr = []
+        self.frames_ps = []
+
+    def _spectral_to_sample(self, present):
+        m = self.m4ac
+        # single SCE element expected (mono HE-AACv2)
+        el = self.elements[(T.TYPE_SCE, 0)]
+        cd = el.cur[0]
+        from ..bitstream import aac_syntax as syn
+        if cd.tns.present:
+            syn.apply_tns(cd.coeffs, cd)
+        self.frames_core.append(dict(
+            coeffs=cd.coeffs.copy(),
+            ws=np.int32(cd.ics.window_sequence),
+            wsp=np.int32(cd.ics.window_sequence_prev),
+            kbd=np.int32(cd.ics.use_kb_window),
+            kbdp=np.int32(cd.ics.use_kb_window_prev)))
+
+        if m.sbr == 1:
+            from ..bitstream.sbr_syntax import SBRContext
+            if el.sbr is None:
+                el.sbr = SBRContext()
+            if not el.sbr.sample_rate:
+                el.sbr.sample_rate = 2 * m.sample_rate
+            if not m.ext_sample_rate:
+                m.ext_sample_rate = 2 * m.sample_rate
+            plan = frame_plan.build_sbr_plan(el.sbr, 0, T.TYPE_SCE,
+                                             dequant_done=False)
+            top = el.sbr.kx[1] + el.sbr.m[1]
+            ps_plan = frame_plan.build_ps_plan(el.sbr.ps, top)
+        else:
+            plan = frame_plan._zeros_plan()
+            ps_plan = frame_plan.build_ps_plan(None, 64)
+        self.frames_sbr.append(plan)
+        self.frames_ps.append(ps_plan)
+        self.sample_rate = m.sample_rate << (
+            (m.ext_sample_rate > m.sample_rate) if m.sbr == 1 else 0)
+        return np.zeros((0, 1), np.int16)
+
+
+def parse_stream_plans(data: bytes):
+    """Parse one ADTS stream into (core, sbr, ps) per-frame plan dicts."""
+    frames = split_adts_stream(data)
+    dec = PlanningDecoder(adts_probe=frames[0][:7])
+    for f in frames:
+        dec.decode_frame(f)
+    core = {k: np.stack([fc[k] for fc in dec.frames_core])
+            for k in dec.frames_core[0]}
+    sbr = frame_plan.stack_plans(dec.frames_sbr)
+    ps = {k: np.stack([np.asarray(fp[k]) for fp in dec.frames_ps])
+          for k in dec.frames_ps[0]}
+    return core, sbr, ps, dec.sample_rate
+
+
+class BatchDecoder:
+    """Decode B copies (or B distinct same-config streams) on device."""
+
+    def __init__(self, stream: bytes, batch: int = 512):
+        self.B = batch
+        core, sbr, ps, rate = parse_stream_plans(stream)
+        self.sample_rate = rate
+        self.T = len(core["coeffs"])
+        # tile per-frame plans across the batch lazily per frame
+        self.core, self.sbr, self.ps = core, sbr, ps
+        self.state = None
+
+    def _tile(self, d, t):
+        return {k: np.broadcast_to(v[t][None], (self.B,) + v[t].shape)
+                for k, v in d.items()}
+
+    def frame_inputs(self, t):
+        return (self._tile(self.core, t), self._tile(self.sbr, t),
+                self._tile(self.ps, t))
+
+    def warmup(self):
+        import jax
+        step = jitted_heaac_frame()
+        self.state = init_state(self.B)
+        c, s, p = self.frame_inputs(0)
+        pcm, st = step(c, s, p, self.state)
+        pcm.block_until_ready()
+        # state was donated; rebuild fresh for the timed run
+        self.state = init_state(self.B)
+        jax.block_until_ready(self.state)
+
+    def run(self) -> float:
+        """Decode all frames once; returns decoded audio seconds."""
+        step = jitted_heaac_frame()
+        state = self.state if self.state is not None else init_state(self.B)
+        pcm = None
+        for t in range(self.T):
+            c, s, p = self.frame_inputs(t)
+            pcm, state = step(c, s, p, state)
+        pcm.block_until_ready()
+        self.state = None
+        return self.B * self.T * 2048 / self.sample_rate
+
+    def decode_all(self):
+        """Decode and return int16 PCM [B, T*2048, 2] (for validation)."""
+        step = jitted_heaac_frame()
+        state = init_state(self.B)
+        outs = []
+        for t in range(self.T):
+            c, s, p = self.frame_inputs(t)
+            pcm, state = step(c, s, p, state)
+            outs.append(np.asarray(pcm))
+        pcm_f = np.concatenate(outs, axis=2)           # [B,2,T*2048]
+        pcm = np.clip(np.rint(pcm_f), -32768, 32767).astype(np.int16)
+        return pcm.transpose(0, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident stream decode: one scan over all frames
+# ---------------------------------------------------------------------------
+def _make_scan_decoder():
+    """jit of: scan the fused frame graph over T frames with the per-lane
+    plan sequences resident on device (zero per-frame host traffic)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .heaac_graph import heaac_frame
+
+    def body(state, frame):
+        core, sbr, ps = frame
+        pcm, state = heaac_frame(core, sbr, ps, state)
+        pcm16 = jnp.clip(jnp.rint(pcm), -32768, 32767).astype(jnp.int16)
+        return state, pcm16
+
+    @jax.jit
+    def run(core_seq, sbr_seq, ps_seq, state):
+        state, pcm = jax.lax.scan(body, state, (core_seq, sbr_seq, ps_seq))
+        return state, pcm  # pcm [T, B, 2, 2048] int16
+
+    return run
+
+
+class StreamBatchDecoder:
+    """Whole-stream batched decode with device-resident plans.
+
+    Takes B streams (each lane genuinely distinct — one plan sequence per
+    lane, shape [T, B, ...]), uploads once, then decodes all T frames for
+    all B lanes in a single device dispatch (lax.scan over frames)."""
+
+    def __init__(self, streams, batch: int | None = None):
+        import jax
+
+        if isinstance(streams, (bytes, bytearray)):
+            streams = [bytes(streams)]
+        per = [parse_stream_plans(s) for s in streams]
+        rate = per[0][3]
+        T = min(len(p[0]["coeffs"]) for p in per)
+        n = len(per)
+        B = batch or n
+        self.B, self.T, self.sample_rate = B, T, rate
+        lane = lambda i: per[i % n]
+
+        def stack(idx):
+            keys = per[0][idx].keys()
+            return {k: np.stack([lane(i)[idx][k][:T] for i in range(B)],
+                                axis=1)
+                    for k in keys}
+
+        self.core = jax.device_put(stack(0))
+        self.sbr = jax.device_put(stack(1))
+        self.ps = jax.device_put(stack(2))
+        self.run_fn = _make_scan_decoder()
+
+    def decode(self):
+        """Returns pcm [T,B,2,2048] int16 (device array)."""
+        state = init_state(self.B)
+        state, pcm = self.run_fn(self.core, self.sbr, self.ps, state)
+        return pcm
+
+    def audio_seconds(self) -> float:
+        return self.B * self.T * 2048 / self.sample_rate

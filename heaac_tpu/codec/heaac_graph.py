@@ -1,0 +1,104 @@
+"""The fused per-frame HE-AAC v2 device graph (flagship pipeline).
+
+One jit compiles the complete mono->stereo HE-AACv2 frame for B stream
+lanes: core IMDCT/overlap-add -> QMF analysis -> SBR HF reconstruction ->
+parametric stereo -> QMF synthesis -> float PCM.  All frame-dependent
+structure arrives as dense tensors (codec/frame_plan.py); decode state is a
+pytree of [B, ...] arrays threaded through the step (donated on TPU).
+
+Start-flag gating falls out of the plan contents: a lane with SBR off has
+zero masks everywhere, reducing the graph to pure upsampling, exactly like
+the reference's sbr->start=0 path (aacsbr.c:1723-1745).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import ps_jax, sbr_jax
+from ..ops.qmf_jax import qmf_analysis, qmf_synthesis
+from .core import _consts as core_consts
+from .core import core_frame
+
+
+class HeaacState(NamedTuple):
+    saved: jax.Array        # [B,512]   core overlap
+    x_hist: jax.Array       # [B,288]   QMF analysis history
+    W_prev: jax.Array       # [B,32,32,2]
+    Y_prev: jax.Array       # [B,38,64,2]
+    g_temp: jax.Array       # [B,42,48]
+    q_temp: jax.Array       # [B,42,48]
+    v0: jax.Array           # [B,9,128] synthesis FIFO L
+    v1: jax.Array           # [B,9,128] synthesis FIFO R
+    ps_in_buf: jax.Array    # [B,5,6,2]
+    ps_delay: jax.Array     # [B,91,14,2]
+    ps_ap: jax.Array        # [B,30,3,5,2]
+    ps_trans: jax.Array     # [B,34,3]
+
+
+def init_state(B: int) -> HeaacState:
+    z = lambda *s: jnp.zeros((B,) + s, jnp.float32)
+    return HeaacState(
+        saved=z(512), x_hist=z(288), W_prev=z(32, 32, 2),
+        Y_prev=z(38, 64, 2), g_temp=z(42, 48), q_temp=z(42, 48),
+        v0=z(9, 128), v1=z(9, 128), ps_in_buf=z(5, 6, 2),
+        ps_delay=z(91, 14, 2), ps_ap=z(30, 3, 5, 2), ps_trans=z(34, 3),
+    )
+
+
+def heaac_frame(core, plan, ps_plan, state: HeaacState):
+    """One frame for B mono HE-AACv2 lanes -> (pcm [B,2,2048], state)."""
+    m2048, m256, bank = core_consts()
+    time_out, saved = core_frame(core["coeffs"], state.saved, core["ws"],
+                                 core["wsp"], core["kbd"], core["kbdp"],
+                                 m2048, m256, bank)
+
+    W, x_hist = qmf_analysis(time_out, state.x_hist)
+    X_low = sbr_jax.lf_gen(state.W_prev, W, plan["xlow_new"],
+                           plan["xlow_old"])
+    alpha0, alpha1 = sbr_jax.hf_inverse_filter(X_low)
+    X_high = sbr_jax.hf_gen(X_low, alpha0, alpha1, plan["src_of_m"],
+                            plan["bw_of_m"], plan["hf_mask"],
+                            plan["gen_slot_mask"])
+    e_curr = sbr_jax.env_estimate(X_high, plan["env_onehot"], plan["recip"])
+    gain, q_m, s_m = sbr_jax.gain_calc(e_curr, plan)
+    Y_m, env_on, g_temp, q_temp = sbr_jax.hf_assemble(
+        X_high, gain, q_m, s_m, state.g_temp, state.q_temp, plan)
+    X, y_cur = sbr_jax.x_gen(X_low, Y_m, state.Y_prev, env_on, plan)
+
+    lbuf, ps_in_buf = ps_jax.hybrid_analysis(X, state.ps_in_buf)
+    ps_state = dict(delay=state.ps_delay, ap=state.ps_ap,
+                    trans=state.ps_trans)
+    lmix, rmix, ps_state_new = ps_jax.decorrelate_and_mix(lbuf, ps_state,
+                                                          ps_plan)
+    Lp = ps_jax.hybrid_synthesis(lmix)
+    Rp = ps_jax.hybrid_synthesis(rmix)
+    on = ps_plan["ps_on"][:, None, None, None]
+    Lx = jnp.where(on > 0, Lp, X)
+    Rx = jnp.where(on > 0, Rp, X)
+    # PS state freezes when inactive (reference never calls ff_ps_apply)
+    keep = lambda new, old: jnp.where(
+        ps_plan["ps_on"].reshape((-1,) + (1,) * (new.ndim - 1)) > 0, new, old)
+    ps_in_buf = keep(ps_in_buf, state.ps_in_buf)
+    ps_delay = keep(ps_state_new["delay"], state.ps_delay)
+    ps_ap = keep(ps_state_new["ap"], state.ps_ap)
+    ps_trans = keep(ps_state_new["trans"], state.ps_trans)
+
+    pcm0, v0 = qmf_synthesis(Lx, state.v0)
+    pcm1, v1 = qmf_synthesis(Rx, state.v1)
+    pcm = jnp.stack([pcm0, pcm1], axis=1)
+
+    new_state = HeaacState(
+        saved=saved, x_hist=x_hist, W_prev=W, Y_prev=y_cur, g_temp=g_temp,
+        q_temp=q_temp, v0=v0, v1=v1, ps_in_buf=ps_in_buf, ps_delay=ps_delay,
+        ps_ap=ps_ap, ps_trans=ps_trans)
+    return pcm, new_state
+
+
+@functools.cache
+def jitted_heaac_frame():
+    return jax.jit(heaac_frame, donate_argnums=(3,))

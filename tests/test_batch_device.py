@@ -1,0 +1,57 @@
+"""Batched device pipeline vs the single-stream (numpy DSP) decoder.
+
+The fused jitted graph must reproduce the reference-validated numpy path on
+generated HE-AACv2 streams.  Runs on CPU in CI (conftest forces cpu).
+"""
+import numpy as np
+import pytest
+
+from heaac_tpu import decode_adts
+from heaac_tpu.codec.batch import StreamBatchDecoder
+
+from conftest import STREAMS
+from test_golden_sbr import make_core
+
+
+def _make_stream(ref_harness, seed=3, ps_seed=2, invf=(0,)):
+    from heaac_tpu.io.heaac_testgen import (PsStreamWriter, SbrStreamWriter,
+                                            splice_sbr_into_lc)
+
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 12)
+    w = SbrStreamWriter(core_rate=24000, is_cpe=False, env_hi_shift=-12,
+                        seed=seed, invf_modes=invf,
+                        ps_writer=PsStreamWriter(seed=ps_seed))
+    return splice_sbr_into_lc(core, w)
+
+
+@pytest.mark.golden
+def test_batch_matches_numpy_path(ref_harness):
+    he = _make_stream(ref_harness)
+    pcm_np, rate = decode_adts(he)
+    bd = StreamBatchDecoder([he, _make_stream(ref_harness, seed=9,
+                                              ps_seed=6)], batch=4)
+    pcm = np.asarray(bd.decode())           # [T,B,2,2048]
+    a = pcm[:, 0].transpose(0, 2, 1).reshape(-1, 2)
+    n = min(len(a), len(pcm_np))
+    d = np.abs(a[:n].astype(int) - pcm_np[:n].astype(int))
+    assert d.max() <= 2, f"batch-vs-numpy max LSB {d.max()}"
+    # lane 2 repeats lane 0's stream
+    assert np.array_equal(pcm[:, 0], pcm[:, 2])
+
+
+@pytest.mark.golden
+def test_batch_matches_reference(ref_harness, tmp_path):
+    import subprocess
+
+    he = _make_stream(ref_harness, seed=21, ps_seed=11, invf=(0,))
+    p = tmp_path / "b.aac"
+    p.write_bytes(he)
+    g = tmp_path / "b.gold"
+    subprocess.run([ref_harness["decode"], str(p), str(g)], check=True,
+                   capture_output=True)
+    gold = np.fromfile(g, np.int16).reshape(-1, 2)
+    bd = StreamBatchDecoder([he], batch=1)
+    pcm = np.asarray(bd.decode())[:, 0].transpose(0, 2, 1).reshape(-1, 2)
+    n = min(len(pcm), len(gold))
+    d = np.abs(pcm[:n].astype(int) - gold[:n].astype(int))
+    assert d.max() <= 2, f"batch-vs-reference max LSB {d.max()}"
