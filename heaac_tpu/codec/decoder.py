@@ -32,7 +32,12 @@ class LaneRef:
 class Decoder:
     """Stateful AAC / HE-AAC decoder for one stream."""
 
-    def __init__(self, asc: bytes | None = None, adts_probe: bytes | None = None):
+    def __init__(self, asc: bytes | None = None, adts_probe: bytes | None = None,
+                 use_native: bool | None = None):
+        if use_native is None:
+            from .. import native as _native
+            use_native = _native.available()
+        self.use_native = use_native
         self.m4ac = M4AConfig()
         self.elements: dict[tuple[int, int], syn.ChannelElement] = {}
         self.lanes: list[LaneRef] = []          # output channel order
@@ -153,14 +158,20 @@ class Decoder:
                 che.present_this_frame = True
 
             if etype in (T.TYPE_SCE, T.TYPE_LFE):
-                syn.decode_ics(br, che.cur[0], m.sampling_index,
-                               m.object_type, 0, self.rng)
-                if m.object_type == 1:
-                    syn.apply_prediction(che.ch[0], che.cur[0],
-                                         m.sampling_index, SF_SCALE)
+                if self.use_native and m.object_type == 2:
+                    self._native_sce(br, che)
+                else:
+                    syn.decode_ics(br, che.cur[0], m.sampling_index,
+                                   m.object_type, 0, self.rng)
+                    if m.object_type == 1:
+                        syn.apply_prediction(che.ch[0], che.cur[0],
+                                             m.sampling_index, SF_SCALE)
                 present.append((etype, eid))
             elif etype == T.TYPE_CPE:
-                self._decode_cpe(br, che)
+                if self.use_native and m.object_type == 2:
+                    self._native_cpe(br, che)
+                else:
+                    self._decode_cpe(br, che)
                 present.append((etype, eid))
             elif etype == T.TYPE_CCE:
                 syn.decode_cce(br, che, m.sampling_index, m.object_type,
@@ -220,6 +231,41 @@ class Decoder:
                 syn.apply_prediction(cpe.ch[1], cpe.cur[1], m.sampling_index,
                                      SF_SCALE)
         syn.apply_intensity_stereo(cpe, ms_present)
+
+    # ------------------------------------------------------------------
+    def _apply_native_meta(self, cd, meta) -> None:
+        ics = cd.ics
+        ics.window_sequence_prev = ics.window_sequence
+        ics.window_sequence = int(meta[0])
+        ics.use_kb_window_prev = ics.use_kb_window
+        ics.use_kb_window = int(meta[1])
+        ics.max_sfb = int(meta[2])
+        ics.num_windows = int(meta[3])
+        ics.num_window_groups = int(meta[4])
+        ics.group_len = [int(v) for v in meta[5:5 + ics.num_window_groups]]
+        cd.tns = syn.TnsData()  # TNS already applied natively
+
+    def _native_sce(self, br: BitReader, che) -> None:
+        from .. import native
+        res = native.parse_sce(br._val.to_bytes(br.nbits // 8, "big"),
+                               br.pos, self.m4ac.sampling_index,
+                               self.rng[0])
+        coeffs, meta, newpos, self.rng[0] = res
+        che.cur[0].coeffs = coeffs
+        self._apply_native_meta(che.cur[0], meta)
+        br.pos = newpos
+
+    def _native_cpe(self, br: BitReader, che) -> None:
+        from .. import native
+        res = native.parse_cpe(br._val.to_bytes(br.nbits // 8, "big"),
+                               br.pos, self.m4ac.sampling_index,
+                               self.rng[0])
+        (c0, c1), (m0, m1), newpos, self.rng[0] = res
+        che.cur[0].coeffs = c0
+        che.cur[1].coeffs = c1
+        self._apply_native_meta(che.cur[0], m0)
+        self._apply_native_meta(che.cur[1], m1)
+        br.pos = newpos
 
     def _skip_dse(self, br: BitReader) -> None:
         byte_align = br.get1()

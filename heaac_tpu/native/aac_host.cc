@@ -1,0 +1,609 @@
+// Native host front-end: AAC-LC individual_channel_stream parsing.
+//
+// This is the performance-critical half of the host side — the analogue of
+// the reference's get_bits.h bit reader + aacdec.c syntax/VLC/dequant layer
+// (spectral Huffman decode is the one inherently serial loop of the codec,
+// SURVEY.md §3.5).  Behavior contract matches the Python reference
+// implementation in heaac_tpu/bitstream/aac_syntax.py bit for bit; the
+// Python layer remains the orchestrator (ADTS framing, elements, SBR/PS
+// side info) and calls in here per SCE/CPE via ctypes.
+//
+// Scaling contract: "no-bias" flavor (sf_offset=60) — float spectra arrive
+// at the device pre-scaled so PCM lands in +/-32768.
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+#include "tables.inc"
+
+namespace {
+
+// ---------------------------------------------------------------- bits ----
+struct Bits {
+  const uint8_t* buf;
+  int64_t nbits;
+  int64_t pos;
+};
+
+static inline uint32_t showbits(const Bits& b, int n) {
+  // MSB-first peek of up to 25 bits (enough for every code here except the
+  // 19-bit scalefactor codes + margin)
+  int64_t byte = b.pos >> 3;
+  int shift = (int)(b.pos & 7);
+  uint64_t v = 0;
+  for (int i = 0; i < 5; i++) {
+    uint64_t c = (byte + i) * 8 < b.nbits ? b.buf[byte + i] : 0;
+    v = (v << 8) | c;
+  }
+  v = (v >> (40 - shift - n)) & ((1ull << n) - 1);
+  return (uint32_t)v;
+}
+
+static inline uint32_t getbits(Bits* b, int n) {
+  uint32_t v = showbits(*b, n);
+  b->pos += n;
+  return v;
+}
+
+static inline uint32_t getbit(Bits* b) { return getbits(b, 1); }
+
+// ----------------------------------------------------------------- vlc ----
+struct Vlc {
+  int max_bits;
+  int16_t* sym;
+  int8_t* len;
+};
+
+static Vlc vlc_sf;
+static Vlc vlc_spec[12];  // 1..11
+
+static void build_vlc(Vlc* v, const uint32_t* codes, const uint8_t* bits,
+                      int n) {
+  int mb = 0;
+  for (int i = 0; i < n; i++)
+    if (bits[i] > mb) mb = bits[i];
+  v->max_bits = mb;
+  size_t size = (size_t)1 << mb;
+  v->sym = new int16_t[size];
+  v->len = new int8_t[size];
+  for (size_t i = 0; i < size; i++) v->sym[i] = -1;
+  for (int i = 0; i < n; i++) {
+    if (!bits[i]) continue;
+    uint32_t lo = codes[i] << (mb - bits[i]);
+    uint32_t hi = lo + (1u << (mb - bits[i]));
+    for (uint32_t c = lo; c < hi; c++) {
+      v->sym[c] = (int16_t)i;
+      v->len[c] = (int8_t)bits[i];
+    }
+  }
+}
+
+static inline int vlc_get(Bits* b, const Vlc& v) {
+  uint32_t pre = showbits(*b, v.max_bits);
+  int s = v.sym[pre];
+  if (s < 0) return -1;
+  b->pos += v.len[pre];
+  return s;
+}
+
+// codebook geometry (ISO 13818-7): dim, lav, signed
+static const int cb_dim[12] = {0, 4, 4, 4, 4, 2, 2, 2, 2, 2, 2, 2};
+static const int cb_lav[12] = {0, 1, 1, 2, 2, 4, 4, 7, 7, 12, 12, 16};
+static const int cb_signed[12] = {0, 1, 1, 0, 0, 1, 1, 0, 0, 0, 0, 0};
+
+// unpacked codeword value tuples, built at init
+static int8_t* cb_vals[12];
+
+static void build_codebooks() {
+  for (int cb = 1; cb <= 11; cb++) {
+    int dim = cb_dim[cb], lav = cb_lav[cb];
+    int mod = cb_signed[cb] ? 2 * lav + 1 : lav + 1;
+    int off = cb_signed[cb] ? lav : 0;
+    int n = 1;
+    for (int d = 0; d < dim; d++) n *= mod;
+    cb_vals[cb] = new int8_t[n * dim];
+    for (int idx = 0; idx < n; idx++) {
+      int v = idx;
+      for (int d = dim - 1; d >= 0; d--) {
+        cb_vals[cb][idx * dim + d] = (int8_t)(v % mod - off);
+        v /= mod;
+      }
+    }
+  }
+}
+
+// -------------------------------------------------------------- context ----
+struct IcsInfo {
+  int window_sequence;
+  int use_kb_window;
+  int max_sfb;
+  int num_windows;
+  int num_window_groups;
+  int group_len[8];
+  const int* swb_offset;
+  int num_swb;
+  int tns_max_bands;
+};
+
+struct Tns {
+  int present;
+  int n_filt[8];
+  int length[8][4];
+  int direction[8][4];
+  int order[8][4];
+  float coef[8][4][20];
+};
+
+struct Chan {
+  IcsInfo ics;
+  Tns tns;
+  int band_type[120];
+  int band_run_end[120];
+  float sf[120];
+};
+
+// --------------------------------------------------------------- parse ----
+static int parse_ics_info(Bits* b, IcsInfo* ics, int sampling_index) {
+  if (getbit(b)) return -1;  // reserved
+  ics->window_sequence = getbits(b, 2);
+  ics->use_kb_window = getbit(b);
+  ics->num_window_groups = 1;
+  ics->group_len[0] = 1;
+  if (ics->window_sequence == 2) {  // EIGHT_SHORT
+    ics->max_sfb = getbits(b, 4);
+    for (int i = 0; i < 7; i++) {
+      if (getbit(b))
+        ics->group_len[ics->num_window_groups - 1]++;
+      else {
+        ics->num_window_groups++;
+        ics->group_len[ics->num_window_groups - 1] = 1;
+      }
+    }
+    ics->num_windows = 8;
+    ics->swb_offset = ht_swb_128[sampling_index];
+    ics->num_swb = ht_num_swb_128[sampling_index];
+    ics->tns_max_bands = ht_tns_max_128[sampling_index];
+  } else {
+    ics->max_sfb = getbits(b, 6);
+    ics->num_windows = 1;
+    ics->swb_offset = ht_swb_1024[sampling_index];
+    ics->num_swb = ht_num_swb_1024[sampling_index];
+    ics->tns_max_bands = ht_tns_max_1024[sampling_index];
+    if (getbit(b)) return -2;  // prediction: not handled natively (AAC Main)
+  }
+  if (ics->max_sfb > ics->num_swb) return -1;
+  return 0;
+}
+
+static int parse_band_types(Bits* b, Chan* ch) {
+  IcsInfo* ics = &ch->ics;
+  int bits = ics->window_sequence == 2 ? 3 : 5;
+  int esc = (1 << bits) - 1;
+  int idx = 0;
+  for (int g = 0; g < ics->num_window_groups; g++) {
+    int k = 0;
+    while (k < ics->max_sfb) {
+      int sect_end = k;
+      int bt = getbits(b, 4);
+      if (bt == 12) return -1;
+      int incr;
+      do {
+        incr = getbits(b, bits);
+        sect_end += incr;
+      } while (incr == esc);
+      if (b->pos > b->nbits) return -1;
+      if (sect_end > ics->max_sfb) return -1;
+      for (; k < sect_end; k++) {
+        ch->band_type[idx] = bt;
+        ch->band_run_end[idx++] = sect_end;
+      }
+    }
+  }
+  return 0;
+}
+
+static int parse_scalefactors(Bits* b, Chan* ch, int global_gain) {
+  IcsInfo* ics = &ch->ics;
+  int sf_off = 60 + (ics->window_sequence == 2 ? 12 : 0);
+  int offset[3] = {global_gain, global_gain - 90, 100};
+  int noise_flag = 1;
+  int idx = 0;
+  for (int g = 0; g < ics->num_window_groups; g++) {
+    for (int i = 0; i < ics->max_sfb;) {
+      int run_end = ch->band_run_end[idx];
+      int bt = ch->band_type[idx];
+      if (bt == 0) {  // ZERO
+        for (; i < run_end; i++, idx++) ch->sf[idx] = 0.f;
+      } else if (bt == 14 || bt == 15) {  // intensity
+        for (; i < run_end; i++, idx++) {
+          int d = vlc_get(b, vlc_sf);
+          if (d < 0) return -1;
+          offset[2] += d - 60;
+          if ((unsigned)offset[2] > 255u) return -1;
+          ch->sf[idx] = ht_pow2sf[-offset[2] + 300];
+        }
+      } else if (bt == 13) {  // noise
+        for (; i < run_end; i++, idx++) {
+          if (noise_flag-- > 0)
+            offset[1] += (int)getbits(b, 9) - 256;
+          else {
+            int d = vlc_get(b, vlc_sf);
+            if (d < 0) return -1;
+            offset[1] += d - 60;
+          }
+          if ((unsigned)offset[1] > 255u) return -1;
+          ch->sf[idx] = -ht_pow2sf[offset[1] + sf_off + 100];
+        }
+      } else {
+        for (; i < run_end; i++, idx++) {
+          int d = vlc_get(b, vlc_sf);
+          if (d < 0) return -1;
+          offset[0] += d - 60;
+          if ((unsigned)offset[0] > 255u) return -1;
+          ch->sf[idx] = -ht_pow2sf[offset[0] + sf_off];
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+static int parse_pulses(Bits* b, const IcsInfo* ics, int* pos, int* amp,
+                        int* count) {
+  int num = getbits(b, 2) + 1;
+  int swb = getbits(b, 6);
+  if (swb >= ics->num_swb) return -1;
+  pos[0] = ics->swb_offset[swb] + (int)getbits(b, 5);
+  if (pos[0] > 1023) return -1;
+  amp[0] = getbits(b, 4);
+  for (int i = 1; i < num; i++) {
+    pos[i] = (int)getbits(b, 5) + pos[i - 1];
+    if (pos[i] > 1023) return -1;
+    amp[i] = getbits(b, 4);
+  }
+  *count = num;
+  return 0;
+}
+
+static int parse_tns(Bits* b, Chan* ch) {
+  IcsInfo* ics = &ch->ics;
+  Tns* t = &ch->tns;
+  t->present = 1;
+  int is8 = ics->window_sequence == 2;
+  int tns_max_order = is8 ? 7 : 12;  // LC only
+  for (int w = 0; w < ics->num_windows; w++) {
+    t->n_filt[w] = getbits(b, 2 - is8);
+    if (t->n_filt[w]) {
+      int coef_res = getbit(b);
+      for (int f = 0; f < t->n_filt[w]; f++) {
+        t->length[w][f] = getbits(b, 6 - 2 * is8);
+        t->order[w][f] = getbits(b, 5 - 2 * is8);
+        if (t->order[w][f] > tns_max_order) return -1;
+        if (t->order[w][f]) {
+          t->direction[w][f] = getbit(b);
+          int coef_compress = getbit(b);
+          int coef_len = coef_res + 3 - coef_compress;
+          const float* map = coef_compress
+              ? (coef_res ? ht_tns_map_1_4 : ht_tns_map_1_3)
+              : (coef_res ? ht_tns_map_0_4 : ht_tns_map_0_3);
+          for (int i = 0; i < t->order[w][f]; i++)
+            t->coef[w][f][i] = map[getbits(b, coef_len)];
+        } else {
+          t->direction[w][f] = 0;
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
+  IcsInfo* ics = &ch->ics;
+  memset(coef, 0, 1024 * sizeof(float));
+  const int* offsets = ics->swb_offset;
+  int idx = 0;
+  float* gbase = coef;
+  for (int g = 0; g < ics->num_window_groups; g++) {
+    int g_len = ics->group_len[g];
+    for (int i = 0; i < ics->max_sfb; i++, idx++) {
+      int bt = ch->band_type[idx];
+      int off = offsets[i];
+      int off_len = offsets[i + 1] - off;
+      if (bt == 0 || bt == 14 || bt == 15) continue;
+      if (bt == 13) {  // PNS (aacdec.c:1016-1029)
+        for (int grp = 0; grp < g_len; grp++) {
+          float* cfo = gbase + grp * 128 + off;
+          for (int k = 0; k < off_len; k++) {
+            *rng = *rng * 1664525u + 1013904223u;
+            cfo[k] = (float)(int32_t)*rng;
+          }
+          float energy = 0.f;
+          for (int k = 0; k < off_len; k++) energy += cfo[k] * cfo[k];
+          float scale = ch->sf[idx] / sqrtf(energy);
+          for (int k = 0; k < off_len; k++) cfo[k] *= scale;
+        }
+      } else {
+        const Vlc& v = vlc_spec[bt];
+        const int8_t* vals = cb_vals[bt];
+        int dim = cb_dim[bt];
+        int sgn = cb_signed[bt];
+        float s = ch->sf[idx];
+        for (int grp = 0; grp < g_len; grp++) {
+          float* cf = gbase + grp * 128 + off;
+          for (int k = 0; k < off_len; k += dim) {
+            int code = vlc_get(b, v);
+            if (code < 0) return -1;
+            const int8_t* tv = vals + code * dim;
+            if (sgn) {
+              for (int d = 0; d < dim; d++) {
+                int av = tv[d] < 0 ? -tv[d] : tv[d];
+                float mag = ht_cbrt[av];
+                cf[k + d] = (tv[d] < 0 ? -mag : mag) * s;
+              }
+            } else {
+              // sign bits for nonzero values first (aacdec.c:1085-1174)
+              int neg[4];
+              for (int d = 0; d < dim; d++)
+                neg[d] = tv[d] ? (int)getbit(b) : 0;
+              for (int d = 0; d < dim; d++) {
+                int vv = tv[d];
+                if (!vv) {
+                  cf[k + d] = 0.f;
+                  continue;
+                }
+                if (bt == 11 && vv == 16) {  // escape
+                  int n = 0;
+                  while (getbit(b)) n++;
+                  if (n > 8) return -1;
+                  n += 4;
+                  vv = (1 << n) + (int)getbits(b, n);
+                }
+                float mag = ht_cbrt[vv];
+                cf[k + d] = (neg[d] ? -mag : mag) * s;
+              }
+            }
+          }
+        }
+      }
+    }
+    gbase += g_len * 128;
+  }
+  return 0;
+}
+
+static void apply_pulses(float* coef, const Chan* ch, const int* pos,
+                         const int* amp, int count) {
+  const int* offsets = ch->ics.swb_offset;
+  int idx = 0;
+  for (int i = 0; i < count; i++) {
+    float co = coef[pos[i]];
+    while (offsets[idx + 1] <= pos[i]) idx++;
+    if (ch->band_type[idx] != 13 && ch->sf[idx] != 0.f) {
+      float ico = -(float)amp[i];
+      if (co != 0.f) {
+        co /= ch->sf[idx];
+        ico = co / sqrtf(sqrtf(fabsf(co))) + (co > 0 ? -ico : ico);
+      }
+      coef[pos[i]] = cbrtf(fabsf(ico)) * ico * ch->sf[idx];
+    }
+  }
+}
+
+// TNS all-pole filter (aacdec.c:1698-1736 behavior)
+static void apply_tns(float* coef, Chan* ch) {
+  IcsInfo* ics = &ch->ics;
+  Tns* t = &ch->tns;
+  int mmm = ics->tns_max_bands < ics->max_sfb ? ics->tns_max_bands
+                                              : ics->max_sfb;
+  for (int w = 0; w < ics->num_windows; w++) {
+    int bottom = ics->num_swb;
+    for (int f = 0; f < t->n_filt[w]; f++) {
+      int top = bottom;
+      bottom = top - t->length[w][f];
+      if (bottom < 0) bottom = 0;
+      int order = t->order[w][f];
+      if (!order) continue;
+      // reflection -> direct form (lpc.h:61-103, normalize=0)
+      float lpc[20];
+      for (int i = 0; i < order; i++) {
+        float r = -t->coef[w][f][i];
+        lpc[i] = r;
+        for (int j = 0; j < (i + 1) >> 1; j++) {
+          float fv = lpc[j];
+          float bv = lpc[i - 1 - j];
+          lpc[j] = fv + r * bv;
+          lpc[i - 1 - j] = bv + r * fv;
+        }
+      }
+      int bi = bottom < mmm ? bottom : mmm;
+      int ti = top < mmm ? top : mmm;
+      int start = ics->swb_offset[bi];
+      int end = ics->swb_offset[ti];
+      int size = end - start;
+      if (size <= 0) continue;
+      int inc = 1;
+      if (t->direction[w][f]) {
+        inc = -1;
+        start = end - 1;
+      }
+      start += w * 128;
+      for (int m = 0; m < size; m++, start += inc) {
+        int lim = m < order ? m : order;
+        for (int i = 1; i <= lim; i++)
+          coef[start] -= coef[start - i * inc] * lpc[i - 1];
+      }
+    }
+  }
+}
+
+static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
+                     float* coef, uint32_t* rng) {
+  int global_gain = getbits(b, 8);
+  if (!common_window) {
+    int r = parse_ics_info(b, &ch->ics, sampling_index);
+    if (r) return r;
+  }
+  if (parse_band_types(b, ch)) return -1;
+  if (parse_scalefactors(b, ch, global_gain)) return -1;
+  int pulse_pos[4], pulse_amp[4], pulse_count = 0;
+  if (getbit(b)) {
+    if (ch->ics.window_sequence == 2) return -1;
+    if (parse_pulses(b, &ch->ics, pulse_pos, pulse_amp, &pulse_count))
+      return -1;
+  }
+  ch->tns.present = 0;
+  if (getbit(b)) {
+    if (parse_tns(b, ch)) return -1;
+  }
+  if (getbit(b)) return -2;  // SSR
+  if (parse_spectrum(b, ch, coef, rng)) return -1;
+  if (pulse_count) apply_pulses(coef, ch, pulse_pos, pulse_amp, pulse_count);
+  return 0;
+}
+
+static void fill_meta(const Chan* ch, int32_t* meta) {
+  meta[0] = ch->ics.window_sequence;
+  meta[1] = ch->ics.use_kb_window;
+  meta[2] = ch->ics.max_sfb;
+  meta[3] = ch->ics.num_windows;
+  meta[4] = ch->ics.num_window_groups;
+  for (int i = 0; i < 8; i++) meta[5 + i] = ch->ics.group_len[i];
+  meta[13] = ch->tns.present;
+}
+
+}  // namespace
+
+extern "C" {
+
+int ht_init() {
+  static int done = 0;
+  if (done) return 0;
+  build_vlc(&vlc_sf, ht_sf_codes, ht_sf_bits, 121);
+#define BV(n, arr_c, arr_b, cnt) \
+  build_vlc(&vlc_spec[n], arr_c, arr_b, cnt)
+  BV(1, ht_spec_codes_1, ht_spec_bits_1, 81);
+  BV(2, ht_spec_codes_2, ht_spec_bits_2, 81);
+  BV(3, ht_spec_codes_3, ht_spec_bits_3, 81);
+  BV(4, ht_spec_codes_4, ht_spec_bits_4, 81);
+  BV(5, ht_spec_codes_5, ht_spec_bits_5, 81);
+  BV(6, ht_spec_codes_6, ht_spec_bits_6, 81);
+  BV(7, ht_spec_codes_7, ht_spec_bits_7, 64);
+  BV(8, ht_spec_codes_8, ht_spec_bits_8, 64);
+  BV(9, ht_spec_codes_9, ht_spec_bits_9, 169);
+  BV(10, ht_spec_codes_10, ht_spec_bits_10, 169);
+  BV(11, ht_spec_codes_11, ht_spec_bits_11, 289);
+#undef BV
+  build_codebooks();
+  done = 1;
+  return 0;
+}
+
+// Parse one SCE/LFE individual channel stream.  Returns 0 on success,
+// -2 if the stream needs the Python fallback (AAC Main / SSR), -1 on error.
+int ht_parse_sce(const uint8_t* buf, int64_t nbits, int64_t* pos,
+                 int sampling_index, float* coeffs, int32_t* meta,
+                 uint32_t* rng_state, int apply_tns_now) {
+  Bits b{buf, nbits, *pos};
+  Chan ch;
+  memset(&ch, 0, sizeof(ch));
+  int r = parse_ics(&b, &ch, sampling_index, 0, coeffs, rng_state);
+  if (r) return r;
+  if (ch.tns.present && apply_tns_now) apply_tns(coeffs, &ch);
+  fill_meta(&ch, meta);
+  *pos = b.pos;
+  return 0;
+}
+
+// Parse a channel_pair_element (aacdec.c:1460-1494 behavior, LC tools).
+int ht_parse_cpe(const uint8_t* buf, int64_t nbits, int64_t* pos,
+                 int sampling_index, float* coeffs0, float* coeffs1,
+                 int32_t* meta0, int32_t* meta1, uint32_t* rng_state,
+                 int apply_tns_now) {
+  Bits b{buf, nbits, *pos};
+  Chan ch0, ch1;
+  memset(&ch0, 0, sizeof(ch0));
+  memset(&ch1, 0, sizeof(ch1));
+  uint8_t ms_mask[128];
+  memset(ms_mask, 0, sizeof(ms_mask));
+  int ms_present = 0;
+  int common_window = getbit(&b);
+  if (common_window) {
+    int r = parse_ics_info(&b, &ch0.ics, sampling_index);
+    if (r) return r;
+    ch1.ics = ch0.ics;
+    ms_present = getbits(&b, 2);
+    if (ms_present == 3) return -1;
+    int nmask = ch0.ics.num_window_groups * ch0.ics.max_sfb;
+    if (ms_present == 1)
+      for (int i = 0; i < nmask; i++) ms_mask[i] = (uint8_t)getbit(&b);
+    else if (ms_present == 2)
+      memset(ms_mask, 1, nmask);
+  }
+  int r = parse_ics(&b, &ch0, sampling_index, common_window, coeffs0,
+                    rng_state);
+  if (r) return r;
+  r = parse_ics(&b, &ch1, sampling_index, common_window, coeffs1, rng_state);
+  if (r) return r;
+
+  if (common_window && ms_present) {  // M/S (aacdec.c:1390-1411)
+    const int* offsets = ch0.ics.swb_offset;
+    int idx = 0;
+    float* c0 = coeffs0;
+    float* c1 = coeffs1;
+    for (int g = 0; g < ch0.ics.num_window_groups; g++) {
+      for (int i = 0; i < ch0.ics.max_sfb; i++, idx++) {
+        if (ms_mask[idx] && ch0.band_type[idx] < 13 &&
+            ch1.band_type[idx] < 13) {
+          for (int grp = 0; grp < ch0.ics.group_len[g]; grp++) {
+            for (int k = offsets[i]; k < offsets[i + 1]; k++) {
+              float a = c0[grp * 128 + k];
+              float bb = c1[grp * 128 + k];
+              c0[grp * 128 + k] = a + bb;
+              c1[grp * 128 + k] = a - bb;
+            }
+          }
+        }
+      }
+      c0 += ch0.ics.group_len[g] * 128;
+      c1 += ch0.ics.group_len[g] * 128;
+    }
+  }
+  {  // intensity stereo (aacdec.c:1420-1451)
+    const int* offsets = ch1.ics.swb_offset;
+    int idx = 0;
+    float* c0 = coeffs0;
+    float* c1 = coeffs1;
+    for (int g = 0; g < ch1.ics.num_window_groups; g++) {
+      for (int i = 0; i < ch1.ics.max_sfb;) {
+        int bt = ch1.band_type[idx];
+        if (bt == 14 || bt == 15) {
+          int end = ch1.band_run_end[idx];
+          for (; i < end; i++, idx++) {
+            int c = -1 + 2 * (ch1.band_type[idx] - 14);
+            if (ms_present) c *= 1 - 2 * ms_mask[idx];
+            float scale = (float)c * ch1.sf[idx];
+            for (int grp = 0; grp < ch1.ics.group_len[g]; grp++)
+              for (int k = offsets[i]; k < offsets[i + 1]; k++)
+                c1[grp * 128 + k] = scale * c0[grp * 128 + k];
+          }
+        } else {
+          int end = ch1.band_run_end[idx];
+          idx += end - i;
+          i = end;
+        }
+      }
+      c0 += ch1.ics.group_len[g] * 128;
+      c1 += ch1.ics.group_len[g] * 128;
+    }
+  }
+  if (apply_tns_now) {
+    if (ch0.tns.present) apply_tns(coeffs0, &ch0);
+    if (ch1.tns.present) apply_tns(coeffs1, &ch1);
+  }
+  fill_meta(&ch0, meta0);
+  fill_meta(&ch1, meta1);
+  *pos = b.pos;
+  return 0;
+}
+
+}  // extern "C"
