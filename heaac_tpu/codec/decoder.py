@@ -299,6 +299,13 @@ class Decoder:
                 used = sbr_syntax.decode_sbr_extension(
                     self, br, che_prev, crc, cnt, etype_prev)
                 total -= used * 8
+            elif ext_type == 0xB:  # EXT_DYNAMIC_RANGE (aacdec.c:1679)
+                from ..bitstream.drc import (DynamicRangeControl,
+                                             decode_dynamic_range)
+                if not hasattr(self, "che_drc"):
+                    self.che_drc = DynamicRangeControl()
+                used = decode_dynamic_range(self.che_drc, br)
+                total -= used * 8
             else:
                 br.skip(total - 4)
                 total = 0

@@ -1,0 +1,62 @@
+"""Container layer + CLI tests: ADTS mux, ADTS->ASC BSF, WAV, tpuaac."""
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from heaac_tpu import decode_adts
+from heaac_tpu.codec.decoder import Decoder
+from heaac_tpu.io.adts import adts_to_asc, make_asc, mux_adts
+from heaac_tpu.io.wav import read_wav, write_wav
+
+
+@pytest.fixture(scope="module")
+def lc_stream(request):
+    ref = request.getfixturevalue("ref_harness")
+    factory = request.getfixturevalue("stream_factory")
+    aac, _ = factory("lc_mono_44k", 44100, 1, 64000)
+    return aac.read_bytes()
+
+
+@pytest.mark.golden
+def test_adts_to_asc_roundtrip(lc_stream):
+    asc, raw = adts_to_asc(lc_stream)
+    assert asc == make_asc(2, 4, 1)
+    dec = Decoder(asc=asc)
+    pcm_asc = np.concatenate([dec.decode_frame(f) for f in raw])
+    pcm_adts, rate = decode_adts(lc_stream)
+    assert rate == 44100
+    assert np.array_equal(pcm_asc, pcm_adts)
+
+
+@pytest.mark.golden
+def test_adts_mux_roundtrip(lc_stream):
+    asc, raw = adts_to_asc(lc_stream)
+    remuxed = mux_adts(raw, 2, 44100, 1)
+    pcm_a, _ = decode_adts(lc_stream)
+    pcm_b, _ = decode_adts(remuxed)
+    assert np.array_equal(pcm_a, pcm_b)
+
+
+def test_wav_roundtrip(tmp_path):
+    pcm = (np.arange(2000).reshape(-1, 2) % 251 - 125).astype(np.int16)
+    p = tmp_path / "x.wav"
+    write_wav(str(p), pcm, 48000)
+    got, rate = read_wav(str(p))
+    assert rate == 48000
+    assert np.array_equal(got, pcm)
+
+
+@pytest.mark.golden
+def test_cli(lc_stream, tmp_path):
+    inp = tmp_path / "in.aac"
+    inp.write_bytes(lc_stream)
+    out = tmp_path / "out.wav"
+    r = subprocess.run([sys.executable, "-m", "heaac_tpu.cli", "-i",
+                        str(inp), str(out), "--benchmark"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    pcm, rate = read_wav(str(out))
+    ref, _ = decode_adts(lc_stream)
+    assert np.array_equal(pcm, ref)
