@@ -51,6 +51,10 @@ class PlanningDecoder(Decoder):
                 el.sbr.sample_rate = 2 * m.sample_rate
             if not m.ext_sample_rate:
                 m.ext_sample_rate = 2 * m.sample_rate
+            if el.sbr.ps is not None and el.sbr.ps.is34bands:
+                raise NotImplementedError(
+                    "34-band PS is not supported by the batched device "
+                    "graph yet; use the single-stream Decoder")
             plan = frame_plan.build_sbr_plan(el.sbr, 0, T.TYPE_SCE,
                                              dequant_done=False)
             top = el.sbr.kx[1] + el.sbr.m[1]
@@ -200,3 +204,99 @@ class StreamBatchDecoder:
 
     def audio_seconds(self) -> float:
         return self.B * self.T * 2048 / self.sample_rate
+
+
+# ---------------------------------------------------------------------------
+# Batched AAC-LC decode (no SBR): core graph scanned over frames
+# ---------------------------------------------------------------------------
+class LcPlanningDecoder(Decoder):
+    """Parses an AAC-LC stream (mono or stereo) into per-frame core plans,
+    one lane per output channel."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.frames_core = []
+
+    def _spectral_to_sample(self, present):
+        from ..bitstream import aac_syntax as syn
+        lanes = []
+        for lane in self.lanes:
+            el = self.elements[(lane.elem_type, lane.elem_id)]
+            cd = el.cur[lane.ch]
+            if cd.tns.present:
+                syn.apply_tns(cd.coeffs, cd)
+            lanes.append(cd)
+        self.frames_core.append(dict(
+            coeffs=np.stack([cd.coeffs for cd in lanes]),
+            ws=np.array([cd.ics.window_sequence for cd in lanes], np.int32),
+            wsp=np.array([cd.ics.window_sequence_prev for cd in lanes],
+                         np.int32),
+            kbd=np.array([cd.ics.use_kb_window for cd in lanes], np.int32),
+            kbdp=np.array([cd.ics.use_kb_window_prev for cd in lanes],
+                          np.int32)))
+        return np.zeros((0, 1), np.int16)
+
+
+def _make_lc_scan_decoder():
+    import jax
+    import jax.numpy as jnp
+
+    from .core import _consts as core_consts
+    from .core import core_frame
+
+    m2048, m256, bank = core_consts()
+
+    def body(saved, c):
+        out, saved = core_frame(c["coeffs"], saved, c["ws"], c["wsp"],
+                                c["kbd"], c["kbdp"], m2048, m256, bank)
+        return saved, jnp.clip(jnp.rint(out), -32768, 32767).astype(jnp.int16)
+
+    @jax.jit
+    def run(core_seq, saved):
+        saved, pcm = jax.lax.scan(body, saved, core_seq)
+        return saved, pcm  # [T, L, 1024]
+
+    return run
+
+
+class LcStreamBatchDecoder:
+    """Batched AAC-LC decode: B streams, each contributing its channel
+    lanes; whole-stream scan with device-resident plans."""
+
+    def __init__(self, streams, batch: int | None = None):
+        import jax
+
+        if isinstance(streams, (bytes, bytearray)):
+            streams = [bytes(streams)]
+        parsed = []
+        for st in streams:
+            frames = split_adts_stream(st)
+            dec = LcPlanningDecoder(adts_probe=frames[0][:7])
+            for f in frames:
+                dec.decode_frame(f)
+            parsed.append((dec.frames_core, dec.sample_rate, dec.channels))
+        n = len(parsed)
+        B = batch or n
+        self.sample_rate = parsed[0][1]
+        self.channels = parsed[0][2]
+        T_ = min(len(p[0]) for p in parsed)
+        self.T, self.B = T_, B
+
+        def stack(key):
+            return np.concatenate(
+                [np.stack([parsed[i % n][0][t][key] for t in range(T_)])
+                 for i in range(B)], axis=1)
+
+        self.core = jax.device_put({k: stack(k) for k in parsed[0][0][0]})
+        self.run_fn = _make_lc_scan_decoder()
+
+    def decode(self):
+        """Returns pcm [T, B*channels, 1024] int16 (device array)."""
+        import jax.numpy as jnp
+
+        saved = jnp.zeros((self.B * self.channels, 512), jnp.float32)
+        _, pcm = self.run_fn(self.core, saved)
+        return pcm
+
+    def audio_seconds(self) -> float:
+        return self.B * self.T * 1024 / self.sample_rate

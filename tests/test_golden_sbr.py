@@ -129,3 +129,43 @@ def test_ps_golden(name, pskw, ref_harness):
                                   seed=3, invf_modes=(0,), ps_writer=psw)
     assert rate == 48000
     assert max_lsb <= 2, f"max LSB {max_lsb}"
+
+
+@pytest.mark.golden
+def test_sbr_downsampled(ref_harness, tmp_path):
+    """Explicit hierarchical signaling with ext rate == core rate drives the
+    downsampled synthesis (aacsbr.c:1719, 1194-1203)."""
+    import subprocess
+
+    from heaac_tpu.codec.decoder import Decoder
+    from heaac_tpu.io.bitwriter import BitWriter
+
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 15)
+    from heaac_tpu.io.heaac_testgen import SbrStreamWriter, splice_sbr_into_lc
+    he = splice_sbr_into_lc(core, SbrStreamWriter(
+        core_rate=24000, is_cpe=False, env_hi_shift=-12, seed=3,
+        invf_modes=(0,)))
+    bw = BitWriter()
+    bw.put(5, 5)   # AOT SBR wrapper
+    bw.put(4, 6)   # 24000
+    bw.put(4, 1)   # mono
+    bw.put(4, 6)   # ext rate 24000 -> downsampled
+    bw.put(5, 2)   # AOT LC
+    bw.put(3, 0)   # GASpecificConfig flags
+    bw.align()
+    asc = bw.bytes()
+
+    p = tmp_path / "ds.aac"
+    p.write_bytes(he)
+    g = tmp_path / "ds.gold"
+    subprocess.run([ref_harness["decode"], str(p), str(g), asc.hex()],
+                   check=True, capture_output=True)
+    gold = np.fromfile(g, np.int16).reshape(-1, 2)
+
+    dec = Decoder(asc=asc)
+    pcm = np.concatenate([dec.decode_frame(f[7:])
+                          for f in split_adts_stream(he)])
+    assert dec.sample_rate == 24000 and pcm.shape[1] == 2
+    n = min(len(pcm), len(gold))
+    d = np.abs(pcm[:n].astype(int) - gold[:n].astype(int))
+    assert d.max() <= 2, f"max LSB {d.max()}"

@@ -15,11 +15,30 @@ static int adts_frame_len(const unsigned char *p, long avail) {
     return len;
 }
 
+static int hexval(char ch) {
+    if (ch >= '0' && ch <= '9') return ch - '0';
+    if (ch >= 'a' && ch <= 'f') return ch - 'a' + 10;
+    if (ch >= 'A' && ch <= 'F') return ch - 'A' + 10;
+    return -1;
+}
+
 int main(int argc, char **argv) {
     if (argc < 3) return 1;
     avcodec_register_all();
     AVCodec *codec = avcodec_find_decoder(CODEC_ID_AAC);
     AVCodecContext *c = avcodec_alloc_context();
+    int strip_adts = 0;
+    if (argc > 3) {
+        /* argv[3] = AudioSpecificConfig hex; input stays ADTS-framed but
+         * headers are stripped before each packet (explicit signaling) */
+        size_t n = strlen(argv[3]) / 2;
+        uint8_t *ed = av_mallocz(n + FF_INPUT_BUFFER_PADDING_SIZE);
+        for (size_t i = 0; i < n; i++)
+            ed[i] = (hexval(argv[3][2*i]) << 4) | hexval(argv[3][2*i+1]);
+        c->extradata = ed;
+        c->extradata_size = n;
+        strip_adts = 1;
+    }
     if (avcodec_open(c, codec) < 0) return 2;
 
     FILE *fi = fopen(argv[1], "rb");
@@ -39,8 +58,8 @@ int main(int argc, char **argv) {
         if (flen < 0) { pos++; continue; }
         AVPacket pkt;
         av_init_packet(&pkt);
-        pkt.data = buf + pos;
-        pkt.size = flen;
+        pkt.data = buf + pos + (strip_adts ? 7 : 0);
+        pkt.size = flen - (strip_adts ? 7 : 0);
         int out_size = AVCODEC_MAX_AUDIO_FRAME_SIZE;
         int used = avcodec_decode_audio3(c, pcm, &out_size, &pkt);
         if (used < 0) {
