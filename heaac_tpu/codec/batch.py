@@ -30,57 +30,77 @@ class PlanningDecoder(Decoder):
 
     def _spectral_to_sample(self, present):
         m = self.m4ac
-        # single SCE element expected (mono HE-AACv2)
-        el = self.elements[(T.TYPE_SCE, 0)]
-        cd = el.cur[0]
         from ..bitstream import aac_syntax as syn
-        if cd.tns.present:
-            syn.apply_tns(cd.coeffs, cd)
-        self.frames_core.append(dict(
-            coeffs=cd.coeffs.copy(),
-            ws=np.int32(cd.ics.window_sequence),
-            wsp=np.int32(cd.ics.window_sequence_prev),
-            kbd=np.int32(cd.ics.use_kb_window),
-            kbdp=np.int32(cd.ics.use_kb_window_prev)))
-
-        if m.sbr == 1:
-            from ..bitstream.sbr_syntax import SBRContext
-            if el.sbr is None:
-                el.sbr = SBRContext()
-            if not el.sbr.sample_rate:
-                el.sbr.sample_rate = 2 * m.sample_rate
-            if not m.ext_sample_rate:
-                m.ext_sample_rate = 2 * m.sample_rate
-            if el.sbr.ps is not None and el.sbr.ps.is34bands:
-                raise NotImplementedError(
-                    "34-band PS is not supported by the batched device "
-                    "graph yet; use the single-stream Decoder")
-            plan = frame_plan.build_sbr_plan(el.sbr, 0, T.TYPE_SCE,
-                                             dequant_done=False)
-            top = el.sbr.kx[1] + el.sbr.m[1]
-            ps_plan = frame_plan.build_ps_plan(el.sbr.ps, top)
-        else:
-            plan = frame_plan._zeros_plan()
-            ps_plan = frame_plan.build_ps_plan(None, 64)
-        self.frames_sbr.append(plan)
-        self.frames_ps.append(ps_plan)
+        from ..bitstream.sbr_syntax import SBRContext
+        cores, sbrs, pss = [], [], []
+        done = set()
+        for lane in self.lanes:
+            key = (lane.elem_type, lane.elem_id)
+            el = self.elements[key]
+            is_ps = (lane.elem_type == T.TYPE_SCE and m.ps == 1)
+            if is_ps and lane.ch == 1:
+                continue  # PS second output shares the SCE lane
+            cd = el.cur[lane.ch]
+            if cd.tns.present:
+                syn.apply_tns(cd.coeffs, cd)
+            cores.append(dict(
+                coeffs=cd.coeffs.copy(),
+                ws=np.int32(cd.ics.window_sequence),
+                wsp=np.int32(cd.ics.window_sequence_prev),
+                kbd=np.int32(cd.ics.use_kb_window),
+                kbdp=np.int32(cd.ics.use_kb_window_prev)))
+            if m.sbr == 1:
+                if el.sbr is None:
+                    el.sbr = SBRContext()
+                if not el.sbr.sample_rate:
+                    el.sbr.sample_rate = 2 * m.sample_rate
+                if not m.ext_sample_rate:
+                    m.ext_sample_rate = 2 * m.sample_rate
+                if el.sbr.ps is not None and el.sbr.ps.is34bands:
+                    raise NotImplementedError(
+                        "34-band PS is unsupported by the batched graph; "
+                        "use the single-stream Decoder")
+                plan = frame_plan.build_sbr_plan(
+                    el.sbr, lane.ch, lane.elem_type,
+                    dequant_done=key in done)
+                done.add(key)
+                top = el.sbr.kx[1] + el.sbr.m[1]
+                ps_plan = frame_plan.build_ps_plan(
+                    el.sbr.ps if is_ps else None, top)
+            else:
+                plan = frame_plan._zeros_plan()
+                ps_plan = frame_plan.build_ps_plan(None, 64)
+            sbrs.append(plan)
+            pss.append(ps_plan)
+        self.frames_core.append(cores)
+        self.frames_sbr.append(sbrs)
+        self.frames_ps.append(pss)
         self.sample_rate = m.sample_rate << (
             (m.ext_sample_rate > m.sample_rate) if m.sbr == 1 else 0)
         return np.zeros((0, 1), np.int16)
 
 
 def parse_stream_plans(data: bytes):
-    """Parse one ADTS stream into (core, sbr, ps) per-frame plan dicts."""
+    """Parse one ADTS stream into (core, sbr, ps) per-frame plan dicts with
+    a leading per-stream lane axis folded into the batch: leaf shapes are
+    [T, n_lanes, ...]."""
     frames = split_adts_stream(data)
     dec = PlanningDecoder(adts_probe=frames[0][:7])
     for f in frames:
         dec.decode_frame(f)
-    core = {k: np.stack([fc[k] for fc in dec.frames_core])
-            for k in dec.frames_core[0]}
-    sbr = frame_plan.stack_plans(dec.frames_sbr)
-    ps = {k: np.stack([np.asarray(fp[k]) for fp in dec.frames_ps])
-          for k in dec.frames_ps[0]}
-    return core, sbr, ps, dec.sample_rate
+    nl = len(dec.frames_core[0])
+    core = {k: np.stack([np.stack([np.asarray(lane[k]) for lane in fc])
+                         for fc in dec.frames_core])
+            for k in dec.frames_core[0][0]}
+    sbr_keys = frame_plan.SbrChannelPlan.__dataclass_fields__
+    sbr = {k: np.stack([np.stack([np.asarray(getattr(lane, k))
+                                  for lane in fs])
+                        for fs in dec.frames_sbr])
+           for k in sbr_keys}
+    ps = {k: np.stack([np.stack([np.asarray(lane[k]) for lane in fp])
+                       for fp in dec.frames_ps])
+          for k in dec.frames_ps[0][0]}
+    return core, sbr, ps, dec.sample_rate, nl
 
 
 class BatchDecoder:
@@ -179,16 +199,16 @@ class StreamBatchDecoder:
             streams = [bytes(streams)]
         per = [parse_stream_plans(s) for s in streams]
         rate = per[0][3]
+        self.lanes_per_stream = per[0][4]
         T = min(len(p[0]["coeffs"]) for p in per)
         n = len(per)
-        B = batch or n
+        B = batch or n  # B = number of streams; lanes = B * lanes_per_stream
         self.B, self.T, self.sample_rate = B, T, rate
-        lane = lambda i: per[i % n]
 
         def stack(idx):
             keys = per[0][idx].keys()
-            return {k: np.stack([lane(i)[idx][k][:T] for i in range(B)],
-                                axis=1)
+            return {k: np.concatenate(
+                [per[i % n][idx][k][:T] for i in range(B)], axis=1)
                     for k in keys}
 
         self.core = jax.device_put(stack(0))
@@ -197,8 +217,8 @@ class StreamBatchDecoder:
         self.run_fn = _make_scan_decoder()
 
     def decode(self):
-        """Returns pcm [T,B,2,2048] int16 (device array)."""
-        state = init_state(self.B)
+        """Returns pcm [T, B*lanes_per_stream, 2, 2048] int16."""
+        state = init_state(self.B * self.lanes_per_stream)
         state, pcm = self.run_fn(self.core, self.sbr, self.ps, state)
         return pcm
 

@@ -55,3 +55,23 @@ def test_batch_matches_reference(ref_harness, tmp_path):
     n = min(len(pcm), len(gold))
     d = np.abs(pcm[:n].astype(int) - gold[:n].astype(int))
     assert d.max() <= 2, f"batch-vs-reference max LSB {d.max()}"
+
+
+@pytest.mark.golden
+def test_batch_cpe_stereo_sbr(ref_harness):
+    """HE-AACv1 stereo (CPE+SBR): 2 lanes per stream through the batched
+    graph, PS pass-through."""
+    from heaac_tpu.io.heaac_testgen import SbrStreamWriter, splice_sbr_into_lc
+
+    core = make_core(ref_harness, "sbr_core_s24", 24000, 2, 64000, 10)
+    he = splice_sbr_into_lc(core, SbrStreamWriter(
+        core_rate=24000, is_cpe=True, env_hi_shift=-12, seed=7,
+        invf_modes=(0,)))
+    pcm_np, rate = decode_adts(he)
+    bd = StreamBatchDecoder([he], batch=1)
+    assert bd.lanes_per_stream == 2
+    pcm = np.asarray(bd.decode())
+    st = np.stack([pcm[:, 0, 0].reshape(-1), pcm[:, 1, 0].reshape(-1)], -1)
+    n = min(len(st), len(pcm_np))
+    d = np.abs(st[:n].astype(int) - pcm_np[:n].astype(int))
+    assert d.max() <= 2, f"max LSB {d.max()}"
