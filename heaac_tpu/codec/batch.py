@@ -86,8 +86,31 @@ def parse_stream_plans(data: bytes):
     [T, n_lanes, ...]."""
     frames = split_adts_stream(data)
     dec = PlanningDecoder(adts_probe=frames[0][:7])
+    from ..bitstream.reader import BitstreamError
     for f in frames:
-        dec.decode_frame(f)
+        n_before = len(dec.frames_core)
+        try:
+            dec.decode_frame(f)
+        except BitstreamError:
+            # per-stream error isolation (SURVEY.md §5): a corrupt frame
+            # becomes silence in its lane instead of desynchronizing the
+            # batch; the frame count stays aligned across lanes
+            dec.error_count += 1
+            if len(dec.frames_core) == n_before:
+                if dec.frames_core:
+                    nl_ = len(dec.frames_core[0])
+                else:
+                    nl_ = 1
+                zc = dict(coeffs=np.zeros(1024, np.float32),
+                          ws=np.int32(0), wsp=np.int32(0),
+                          kbd=np.int32(0), kbdp=np.int32(0))
+                dec.frames_core.append([dict(zc) for _ in range(nl_)])
+                dec.frames_sbr.append(
+                    [frame_plan._zeros_plan() for _ in range(nl_)])
+                dec.frames_ps.append(
+                    [frame_plan.build_ps_plan(None, 64) for _ in range(nl_)])
+    if not dec.frames_core:
+        raise BitstreamError("no decodable frames in stream")
     nl = len(dec.frames_core[0])
     core = {k: np.stack([np.stack([np.asarray(lane[k]) for lane in fc])
                          for fc in dec.frames_core])
