@@ -52,6 +52,9 @@ class SbrChannelPlan:
     noise_start: np.ndarray = None     # [38] int32
     sine_re: np.ndarray = None         # [38]
     sine_im0: np.ndarray = None        # [38]
+    # envelope estimation band grouping (interpol_freq=0; identity when 1)
+    grp_mean: np.ndarray = None        # [2, M, M] low/high-res group mean
+    freqres_sel: np.ndarray = None     # [E] 1 -> high-res table
     # x_gen
     i_temp: np.int32 = np.int32(0)
     use_y_old: np.ndarray = None       # [64]
@@ -83,6 +86,8 @@ def _zeros_plan() -> SbrChannelPlan:
     p.noise_start = np.zeros(38, np.int32)
     p.sine_re = np.zeros(38, np.float32)
     p.sine_im0 = np.zeros(38, np.float32)
+    p.grp_mean = np.stack([np.eye(M, dtype=np.float32)] * 2)
+    p.freqres_sel = np.zeros(E, np.float32)
     p.i_temp = np.int32(0)
     p.use_y_old = np.zeros(64, np.float32)
     p.use_y_new = np.zeros(64, np.float32)
@@ -145,6 +150,23 @@ def build_sbr_plan(sbr: SBRContext, ch: int, id_aac: int,
         p.env_onehot[e, 2 * t0: 2 * t1] = 1.0
         if t1 > t0:
             p.recip[e] = np.float32(0.5 / (t1 - t0))
+        p.freqres_sel[e] = np.float32(d.bs_freq_res[e + 1])
+
+    # interpol_freq=0: e_curr becomes the group mean over scalefactor bands
+    # (aacsbr.c:1520-1545); with interpol_freq=1 the matrices stay identity
+    if not sbr.bs_interpol_freq:
+        for hi, (tab, nb) in enumerate((
+                (sbr.f_tablelow, sbr.n[0]), (sbr.f_tablehigh, sbr.n[1]))):
+            g = np.zeros((M, M), np.float32)
+            for pband in range(nb):
+                lo = int(tab[pband]) - kx1
+                hi_b = int(tab[pband + 1]) - kx1
+                lo_c = max(lo, 0)
+                hi_c = min(hi_b, M)
+                wdt = hi_b - lo
+                if wdt > 0 and hi_c > lo_c:
+                    g[lo_c:hi_c, lo_c:hi_c] = 1.0 / wdt
+            p.grp_mean[hi] = g
 
     # HF generation (aacsbr.c:1360-1409) + chirp state advance
     chirp(sbr, d)

@@ -64,7 +64,9 @@ def heaac_frame(core, plan, ps_plan, state: HeaacState):
     X_high = sbr_jax.hf_gen(X_low, alpha0, alpha1, plan["src_of_m"],
                             plan["bw_of_m"], plan["hf_mask"],
                             plan["gen_slot_mask"])
-    e_curr = sbr_jax.env_estimate(X_high, plan["env_onehot"], plan["recip"])
+    e_curr = sbr_jax.env_estimate(X_high, plan["env_onehot"],
+                                  plan["recip"], plan["grp_mean"],
+                                  plan["freqres_sel"])
     gain, q_m, s_m = sbr_jax.gain_calc(e_curr, plan)
     Y_m, env_on, g_temp, q_temp = sbr_jax.hf_assemble(
         X_high, gain, q_m, s_m, state.g_temp, state.q_temp, plan)

@@ -126,15 +126,21 @@ def hf_gen(X_low, alpha0, alpha1, src_of_m, bw_of_m, hf_mask, gen_slot_mask):
     return jnp.stack([hr * mask, hi * mask], axis=-1)
 
 
-def env_estimate(X_high, env_onehot, recip):
-    """interpol_freq=1 energy estimate (aacsbr.c:1504-1519).
-    X_high [B,48,40,2] -> e_curr [B,5,48]."""
+def env_estimate(X_high, env_onehot, recip, grp_mean, freqres_sel):
+    """Envelope energy estimate (aacsbr.c:1499-1546).
+    X_high [B,48,40,2] -> e_curr [B,5,48].  With interpol_freq=0 the
+    per-line energies are replaced by scalefactor-band group means via the
+    host-built grp_mean matrices (identity when interpol_freq=1)."""
     energy = X_high[..., 0] ** 2 + X_high[..., 1] ** 2   # [B,48,40]
     # envelope e covers X_high slots (2t_e+2 .. 2t_{e+1}+2) == env_onehot
     # shifted by the adjustment offset
     eslots = jnp.pad(env_onehot, ((0, 0), (0, 0), (2, 0)))[..., :40]  # [B,5,40]
     acc = jnp.einsum("bms,bes->bem", energy, eslots, precision=HIGHEST)
-    return acc * recip[:, :, None]
+    e1 = acc * recip[:, :, None]
+    g_lo = jnp.einsum("bem,bmk->bek", e1, grp_mean[:, 0], precision=HIGHEST)
+    g_hi = jnp.einsum("bem,bmk->bek", e1, grp_mean[:, 1], precision=HIGHEST)
+    sel = freqres_sel[:, :, None]
+    return sel * g_hi + (1.0 - sel) * g_lo
 
 
 def gain_calc(e_curr, plan):

@@ -75,3 +75,29 @@ def test_batch_cpe_stereo_sbr(ref_harness):
     n = min(len(st), len(pcm_np))
     d = np.abs(st[:n].astype(int) - pcm_np[:n].astype(int))
     assert d.max() <= 2, f"max LSB {d.max()}"
+
+
+@pytest.mark.golden
+def test_batch_interpol_freq0(ref_harness, tmp_path):
+    """interpol_freq=0 envelope estimation (band-grouped) on both paths."""
+    import subprocess
+
+    from heaac_tpu.io.heaac_testgen import SbrStreamWriter, splice_sbr_into_lc
+
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 12)
+    he = splice_sbr_into_lc(core, SbrStreamWriter(
+        core_rate=24000, is_cpe=False, env_hi_shift=-12, seed=13,
+        invf_modes=(0,), interpol_freq=0))
+    p = tmp_path / "if0.aac"
+    p.write_bytes(he)
+    g = tmp_path / "if0.gold"
+    subprocess.run([ref_harness["decode"], str(p), str(g)], check=True,
+                   capture_output=True)
+    gold = np.fromfile(g, np.int16).reshape(-1, 2)
+    pcm_np, _ = decode_adts(he)
+    n = min(len(pcm_np), len(gold))
+    assert np.abs(pcm_np[:n].astype(int) - gold[:n].astype(int)).max() <= 2
+    bd = StreamBatchDecoder([he])
+    pcm = np.asarray(bd.decode())[:, 0].transpose(0, 2, 1).reshape(-1, 2)
+    n = min(len(pcm), len(gold))
+    assert np.abs(pcm[:n].astype(int) - gold[:n].astype(int)).max() <= 2

@@ -30,13 +30,13 @@ def main():
     sbr_np.DEBUG_SINK = []
     pcm_np, _ = decode_adts(he)
     dbg = sbr_np.DEBUG_SINK
-    core, sbrp, psp, rate = parse_stream_plans(he)
+    core, sbrp, psp, rate, _nl = parse_stream_plans(he)
     st = init_state(1)
     m2048, m256, bank = core_consts()
     for t in range(min(nf, len(dbg))):
-        c = {k: np.asarray(v[t])[None] for k, v in core.items()}
-        s = {k: np.asarray(v[t])[None] for k, v in sbrp.items()}
-        p = {k: np.asarray(v[t])[None] for k, v in psp.items()}
+        c = {k: np.asarray(v[t][0])[None] for k, v in core.items()}
+        s = {k: np.asarray(v[t][0])[None] for k, v in sbrp.items()}
+        p = {k: np.asarray(v[t][0])[None] for k, v in psp.items()}
         d = dbg[t]
         msgs = []
 
@@ -70,7 +70,8 @@ def main():
             e = relerr(got[:, mask], ref_m[:, mask])
             if e > 1e-4:
                 msgs.append(f"X_high {e:.2e}")
-        e_curr = sbr_jax.env_estimate(X_high, s["env_onehot"], s["recip"])
+        e_curr = sbr_jax.env_estimate(X_high, s["env_onehot"], s["recip"],
+                                      s["grp_mean"], s["freqres_sel"])
         if "e_curr" in d:
             ne = int(np.asarray(s["env_onehot"])[0].sum(1).astype(bool).sum())
         gain, q_m, s_m = sbr_jax.gain_calc(e_curr, s)
