@@ -6,10 +6,17 @@ North-star baseline: 5000x aggregate realtime HE-AACv2 48 kHz per chip
 (BASELINE.json).  vs_baseline = value / 5000.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# the fused graph takes minutes to compile cold on the axon backend;
+# persist compilations across runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.makedirs("/tmp/jaxcache", exist_ok=True)
 
 
 def make_test_streams(n: int = 8, frames: int = 50) -> list:
@@ -92,7 +99,7 @@ def make_test_stream(frames: int = 50) -> bytes:
 def main():
     from heaac_tpu.codec import batch as batch_mod
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     streams = make_test_streams(n=min(8, B))
