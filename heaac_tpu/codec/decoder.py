@@ -60,7 +60,8 @@ class Decoder:
             self.m4ac.chan_config = hdr.chan_config
             self.m4ac.sbr = -1
             self.m4ac.ps = -1
-            self._configure(hdr.chan_config)
+            if hdr.chan_config:
+                self._configure(hdr.chan_config)
             self.sample_rate = hdr.sample_rate
 
     # ------------------------------------------------------------------
@@ -75,6 +76,31 @@ class Decoder:
             self.lanes.append(LaneRef(etype, eid, 0))
             if etype == T.TYPE_CPE or (etype == T.TYPE_SCE and self.m4ac.ps == 1):
                 self.lanes.append(LaneRef(etype, eid, 1))
+        self.configured = True
+
+    def _configure_from_pce(self, layout) -> None:
+        """Configure output lanes from a program_config_element (config 0);
+        ordering follows the reference's 1:1 mapping (aacdec.c:249-268:
+        iterate element ids, then types SCE,CPE,CCE,LFE)."""
+        pos: dict[tuple[int, int], bool] = {}
+        for group in ("front", "side", "back", "lfe", "cc"):
+            for etype, eid in layout[group]:
+                pos[(etype, eid)] = True
+        self.lanes = []
+        self.cce_lanes = []
+        for eid in range(16):
+            for etype in (T.TYPE_SCE, T.TYPE_CPE, T.TYPE_CCE, T.TYPE_LFE):
+                if (etype, eid) not in pos:
+                    continue
+                if (etype, eid) not in self.elements:
+                    self.elements[(etype, eid)] = syn.ChannelElement()
+                if etype == T.TYPE_CCE:
+                    self.cce_lanes.append(LaneRef(etype, eid, 0))
+                    continue
+                self.lanes.append(LaneRef(etype, eid, 0))
+                if etype == T.TYPE_CPE or (etype == T.TYPE_SCE
+                                           and self.m4ac.ps == 1):
+                    self.lanes.append(LaneRef(etype, eid, 1))
         self.configured = True
 
     @property
@@ -176,11 +202,18 @@ class Decoder:
             elif etype == T.TYPE_CCE:
                 syn.decode_cce(br, che, m.sampling_index, m.object_type,
                                self.rng)
+                if self.use_native and che.coup.coupling_point < 3:
+                    # pre-IMDCT coupling needs un-TNS'd target spectra; the
+                    # native engine applies TNS in-parse, so fall back to
+                    # the Python element parser from the next frame on
+                    self.use_native = False
                 present.append((etype, eid))
             elif etype == T.TYPE_DSE:
                 self._skip_dse(br)
             elif etype == T.TYPE_PCE:
-                syn.parse_pce_layout(br)  # parsed; layout switch unsupported
+                layout = syn.parse_pce_layout(br)
+                if not self.locked:
+                    self._configure_from_pce(layout)
             elif etype == T.TYPE_FIL:
                 cnt = eid
                 if cnt == 15:
@@ -316,8 +349,15 @@ class Decoder:
         m = self.m4ac
         # dependent coupling (BEFORE_TNS then BETWEEN_TNS_AND_IMDCT), TNS
         all_lanes = self.lanes + self.cce_lanes
-        for cp in (0, 1):
-            self._apply_dependent_coupling_stage(cp, before_tns=(cp == 0))
+        self._apply_dependent_coupling_stage(0, before_tns=True)
+        # TNS (python-parsed lanes; the native engine applies it in-parse)
+        for lane in all_lanes:
+            el = self.elements[(lane.elem_type, lane.elem_id)]
+            cd = el.cur[lane.ch]
+            if el.present_this_frame and cd.coeffs is not None                     and cd.tns.present:
+                syn.apply_tns(cd.coeffs, cd)
+                cd.tns = syn.TnsData()
+        self._apply_dependent_coupling_stage(1, before_tns=False)
         # assemble device batch
         B = len(all_lanes)
         coeffs = np.zeros((B, 1024), np.float32)
@@ -330,8 +370,6 @@ class Decoder:
             cd = el.cur[lane.ch]
             if cd.coeffs is None or not el.present_this_frame:
                 continue
-            if cd.tns.present:
-                syn.apply_tns(cd.coeffs, cd)
             coeffs[i] = cd.coeffs
             ws[i] = cd.ics.window_sequence
             wsp[i] = cd.ics.window_sequence_prev

@@ -722,3 +722,90 @@ class PsStreamWriter:
         self.num_env = num_env
         self.frame_idx += 1
         return bw
+
+
+# ---------------------------------------------------------------------------
+# CCE (channel coupling) test vectors -- requires a PCE-configured stream
+# since the default channel configs map no CCEs (aacdectab.h:74-82)
+# ---------------------------------------------------------------------------
+def _write_pce(bw: BitWriter, sampling_index: int) -> None:
+    """PCE declaring 1 front SCE + 1 CCE (decode_pce, aacdec.c:303-349)."""
+    bw.put(3, T.TYPE_PCE)
+    bw.put(4, 0)            # element_instance_tag
+    bw.put(2, 1)            # object_type (LC-1)
+    bw.put(4, sampling_index)
+    bw.put(4, 1)            # num_front
+    bw.put(4, 0)            # num_side
+    bw.put(4, 0)            # num_back
+    bw.put(2, 0)            # num_lfe
+    bw.put(3, 0)            # num_assoc_data
+    bw.put(4, 1)            # num_cc
+    bw.put(3, 0)            # mixdown flags
+    bw.put1(0); bw.put(4, 0)   # front: SCE tag 0
+    bw.put1(0); bw.put(4, 0)   # cc: tag 0
+    bw.align()
+    bw.put(8, 0)            # comment length
+
+
+def splice_cce_into_lc(lc_adts: bytes, coupling_point: str = "before",
+                       seed: int = 0) -> bytes:
+    """Rebuild a mono LC ADTS stream as PCE-configured (chan_config=0) with
+    a coupling channel element appended each frame (gain list c=0 only, so
+    no gain bits; aacdec.c:1533-1544)."""
+    from ..codec.encoder import AacEncoder, _analysis_matrix
+
+    frames = split_adts_stream(lc_adts)
+    hdr0 = parse_adts_header(BitReader(frames[0]))
+    dec = Decoder(adts_probe=frames[0][:7])
+    enc = AacEncoder(hdr0.sample_rate, 1, qstep=20)
+    rng = np.random.default_rng(seed)
+    F = _analysis_matrix()
+    sr = hdr0.sample_rate
+    t = np.arange(len(frames) * 1024 + 1024) / sr
+    cce_sig = (6000 * np.sin(2 * np.pi * 700 * t)).astype(np.float32)
+
+    out = bytearray()
+    for fi, f in enumerate(frames):
+        dec_br = BitReader(f)
+        parse_adts_header(dec_br)
+        body_start = dec_br.pos
+        dec._parse_raw_data_block(dec_br)
+        end_pos = dec._end_bitpos
+
+        bw = BitWriter()
+        _write_pce(bw, hdr0.sampling_index)
+        bw.put_bits_from(f, body_start, end_pos - body_start)
+        # CCE element (aacdec.c:1503-1531)
+        bw.put(3, T.TYPE_CCE)
+        bw.put(4, 0)
+        after = coupling_point == "after"
+        bw.put1(1 if after else 0)   # ind_sw
+        bw.put(3, 0)                 # num_coupled-1 -> 1 target
+        bw.put1(0)                   # target is SCE
+        bw.put(4, 0)                 # id_select
+        bw.put1(1 if after else 0)   # cc_domain / point adjust
+        bw.put1(0)                   # gain_element_sign
+        bw.put(2, 0)                 # gain_element_scale
+        block = cce_sig[fi * 1024:(fi + 1) * 1024 + 1024]
+        if len(block) < 2048:
+            block = np.pad(block, (0, 2048 - len(block)))
+        enc._encode_ics(bw, block @ F)
+        bw.put(3, T.TYPE_END)
+        bw.align()
+        body = bw.bytes()
+        hdr = bytearray(f[:7])
+        full_len = 7 + len(body)
+        hdr[2] = hdr[2] & 0xC1  # clear sampling? keep; set chan_config=0
+        # rebuild header bytes for chan_config=0 and new length
+        hb = BitWriter()
+        hb.put(12, 0xFFF); hb.put1(0); hb.put(2, 0); hb.put1(1)
+        hb.put(2, hdr0.object_type - 1)
+        hb.put(4, hdr0.sampling_index)
+        hb.put1(0)
+        hb.put(3, 0)                 # chan_config = 0 (PCE in-band)
+        hb.put(4, 0)
+        hb.put(13, full_len)
+        hb.put(11, 0x7FF)
+        hb.put(2, 0)
+        out += hb.bytes() + body
+    return bytes(out)

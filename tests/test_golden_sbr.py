@@ -169,3 +169,27 @@ def test_sbr_downsampled(ref_harness, tmp_path):
     n = min(len(pcm), len(gold))
     d = np.abs(pcm[:n].astype(int) - gold[:n].astype(int))
     assert d.max() <= 2, f"max LSB {d.max()}"
+
+
+@pytest.mark.golden
+@pytest.mark.parametrize("cp", ["before", "after"])
+def test_cce_coupling(cp, ref_harness, tmp_path):
+    """Channel coupling element via a PCE-configured stream (config 0):
+    dependent (BEFORE_TNS) and independent (AFTER_IMDCT) coupling."""
+    import subprocess
+
+    from heaac_tpu.io.heaac_testgen import splice_cce_into_lc
+
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 12)
+    cce = splice_cce_into_lc(core, coupling_point=cp)
+    p = tmp_path / "c.aac"
+    p.write_bytes(cce)
+    g = tmp_path / "c.gold"
+    subprocess.run([ref_harness["decode"], str(p), str(g)], check=True,
+                   capture_output=True)
+    gold = np.fromfile(g, np.int16)
+    pcm, rate = decode_adts(cce)
+    assert pcm.shape[1] == 1
+    n = min(len(pcm), len(gold))
+    d = np.abs(pcm[:n, 0].astype(int) - gold[:n].astype(int))
+    assert d.max() <= 2, f"max LSB {d.max()}"
