@@ -126,11 +126,18 @@ def _write_band(bw: BitWriter, q: np.ndarray, cb: int) -> None:
 
 
 class AacEncoder:
-    """AAC-LC encoder: int16 PCM [n, ch] -> ADTS bytes."""
+    """AAC encoder: int16 PCM [n, ch] -> ADTS bytes.
 
-    def __init__(self, sample_rate: int, channels: int, qstep: int = 28):
+    object_type 2 = LC (default); 1 = Main with frequency-domain
+    prediction (the encoder mirrors the decoder's predictor state,
+    aacdec.c:1271-1322, and codes residuals)."""
+
+    def __init__(self, sample_rate: int, channels: int, qstep: int = 28,
+                 object_type: int = 2):
         if channels not in (1, 2):
             raise ValueError("mono or stereo only")
+        if object_type not in (1, 2):
+            raise ValueError("AAC-LC or AAC-Main only")
         sr = np.asarray(T.SAMPLE_RATES)
         idx = np.where(sr == sample_rate)[0]
         if not len(idx):
@@ -139,13 +146,69 @@ class AacEncoder:
         self.sample_rate = sample_rate
         self.channels = channels
         self.qstep = qstep
+        self.object_type = object_type
         self.swb_offset = T.swb_offset_1024(self.sampling_index)
         self.num_swb = T.num_swb_1024(self.sampling_index)
+        if object_type == 1:
+            from ..bitstream import aac_syntax as syn
+            self._syn = syn
+            self._pred_state = [syn.new_predictor_state()
+                                for _ in range(channels)]
+            self._pred_max = T.pred_sfb_max(self.sampling_index)
+            self._frame_no = 0
+            self._sf_scale = np.float32(1.0 / -1024.0)
+
+    # ---------------- AAC-Main prediction --------------------------------
+    def _predict_values(self, ch: int):
+        """pv per bin from the mirrored decoder state (aacdec.c:1280-1283)."""
+        syn = self._syn
+        st = self._pred_state[ch]
+        kmax = int(self.swb_offset[min(self._pred_max, self.num_swb)])
+        cor0, cor1 = st[:kmax, 0], st[:kmax, 1]
+        var0, var1 = st[:kmax, 2], st[:kmax, 3]
+        r0, r1 = st[:kmax, 4], st[:kmax, 5]
+        a = np.float32(0.953125)
+        k1 = np.where(var0 > 1, cor0 * syn._flt16_even(a / var0), 0).astype(np.float32)
+        k2 = np.where(var1 > 1, cor1 * syn._flt16_even(a / var1), 0).astype(np.float32)
+        return syn._flt16_round((k1 * r0 + k2 * r1).astype(np.float32)), k1, kmax
+
+    def _predict_update(self, ch: int, dec_coef: np.ndarray, k1, kmax,
+                        reset_group: int):
+        """State update from the decoded spectra (aacdec.c:1287-1296)."""
+        syn = self._syn
+        st = self._pred_state[ch]
+        alpha = np.float32(0.90625)
+        a = np.float32(0.953125)
+        r0, r1 = st[:kmax, 4].copy(), st[:kmax, 5].copy()
+        e0 = (dec_coef[:kmax] / self._sf_scale).astype(np.float32)
+        e1 = (e0 - k1 * r0).astype(np.float32)
+        st[:kmax, 1] = syn._flt16_trunc((alpha * st[:kmax, 1] + r1 * e1).astype(np.float32))
+        st[:kmax, 3] = syn._flt16_trunc((alpha * st[:kmax, 3] + np.float32(0.5) * (r1 * r1 + e1 * e1)).astype(np.float32))
+        st[:kmax, 0] = syn._flt16_trunc((alpha * st[:kmax, 0] + r0 * e0).astype(np.float32))
+        st[:kmax, 2] = syn._flt16_trunc((alpha * st[:kmax, 2] + np.float32(0.5) * (r0 * r0 + e0 * e0)).astype(np.float32))
+        st[:kmax, 5] = syn._flt16_trunc((a * (r0 - k1 * e0)).astype(np.float32))
+        st[:kmax, 4] = syn._flt16_trunc((a * e0).astype(np.float32))
+        if reset_group:
+            idxs = np.arange(reset_group - 1, syn.MAX_PREDICTORS, 30)
+            st[idxs] = 0.0
+            st[idxs, 2] = 1.0
+            st[idxs, 3] = 1.0
 
     # ---------------- per-channel ICS -----------------------------------
-    def _encode_ics(self, bw: BitWriter, coefs: np.ndarray) -> None:
+    def _encode_ics(self, bw: BitWriter, coefs: np.ndarray,
+                    ch: int = 0) -> None:
         offs = self.swb_offset
         nb = self.num_swb
+        predicting = self.object_type == 1
+        if predicting:
+            pv, k1_arr, kmax = self._predict_values(ch)
+            reset_group = (self._frame_no % 30) + 1
+            nmax = min(nb, self._pred_max)
+            pred_used = np.ones(nmax, np.int64)
+            residual = coefs.copy()
+            residual[:kmax] = (residual[:kmax]
+                               - pv * self._sf_scale).astype(np.float32)
+            coefs = residual
         sfs = np.zeros(nb, np.int64)
         qs = []
         cbs = np.zeros(nb, np.int64)
@@ -175,7 +238,14 @@ class AacEncoder:
         bw.put(2, 0)        # ONLY_LONG_SEQUENCE
         bw.put1(0)          # use_kb_window
         bw.put(6, nb)       # max_sfb
-        bw.put1(0)          # predictor_data_present
+        if predicting:
+            bw.put1(1)      # predictor_data_present
+            bw.put1(1)      # predictor_reset
+            bw.put(5, reset_group)
+            for sfb in range(nmax):
+                bw.put1(int(pred_used[sfb]))
+        else:
+            bw.put1(0)      # predictor_data_present
         # section_data (5-bit runs, esc=31)
         b = 0
         while b < nb:
@@ -206,6 +276,23 @@ class AacEncoder:
         for b in range(nb):
             if cbs[b]:
                 _write_band(bw, qs[b], int(cbs[b]))
+        if predicting:
+            # mirror the decoder: decoded residual + enabled prediction
+            dec = np.zeros(1024, np.float32)
+            for b in range(nb):
+                band_q = qs[b]
+                step = np.float32(2.0 ** ((int(sfs[b]) - 140) / 4.0))
+                vq = (-np.sign(band_q)
+                      * np.abs(band_q).astype(np.float32) ** (4.0 / 3.0))
+                dec[offs[b]:offs[b + 1]] = (vq * step).astype(np.float32)
+            enable = np.zeros(kmax, bool)
+            for sfb in range(nmax):
+                if pred_used[sfb]:
+                    enable[int(offs[sfb]):int(offs[sfb + 1])] = True
+            dec[:kmax] = np.where(
+                enable, (dec[:kmax] + pv * self._sf_scale).astype(np.float32),
+                dec[:kmax])
+            self._predict_update(ch, dec, k1_arr, kmax, reset_group)
 
     def _encode_frame(self, block: np.ndarray) -> bytes:
         """block: float [2048, ch] -> one raw_data_block."""
@@ -214,15 +301,17 @@ class AacEncoder:
         if self.channels == 1:
             bw.put(3, T.TYPE_SCE)
             bw.put(4, 0)
-            self._encode_ics(bw, block[:, 0] @ F)
+            self._encode_ics(bw, block[:, 0] @ F, 0)
         else:
             bw.put(3, T.TYPE_CPE)
             bw.put(4, 0)
             bw.put1(0)  # common_window = 0 (independent ICS info)
-            self._encode_ics(bw, block[:, 0] @ F)
-            self._encode_ics(bw, block[:, 1] @ F)
+            self._encode_ics(bw, block[:, 0] @ F, 0)
+            self._encode_ics(bw, block[:, 1] @ F, 1)
         bw.put(3, T.TYPE_END)
         bw.align()
+        if self.object_type == 1:
+            self._frame_no += 1
         return bw.bytes()
 
     def encode(self, pcm: np.ndarray) -> bytes:
@@ -240,5 +329,5 @@ class AacEncoder:
             if block.shape[0] < 2048:
                 block = np.pad(block, ((0, 2048 - block.shape[0]), (0, 0)))
             frames.append(self._encode_frame(block))
-        return mux_adts(frames, 2, self.sample_rate,
+        return mux_adts(frames, self.object_type, self.sample_rate,
                         1 if self.channels == 1 else 2)

@@ -40,3 +40,27 @@ def test_encode_roundtrip(sr, ch, ref_harness, tmp_path):
     snr = 10 * np.log10((pcm[:m].astype(np.float64) ** 2).mean()
                         / max((d ** 2).mean(), 1e-9))
     assert snr > 25, f"SNR {snr:.1f} dB"
+
+
+@pytest.mark.golden
+def test_encode_aac_main_prediction(ref_harness, tmp_path):
+    """AAC-Main: encoder mirrors the decoder's frequency-domain predictor
+    (emulated-f16 state machine) and codes residuals; exercises the
+    decoder's prediction path against the reference."""
+    sr = 44100
+    pcm = _tone(sr, 1, seconds=2.0)
+    adts = AacEncoder(sr, 1, object_type=1).encode(pcm)
+    p = tmp_path / "m.aac"
+    p.write_bytes(adts)
+    g = tmp_path / "m.gold"
+    subprocess.run([ref_harness["decode"], str(p), str(g)], check=True,
+                   capture_output=True)
+    gold = np.fromfile(g, np.int16)
+    ours, rate = decode_adts(adts)
+    n = min(len(ours), len(gold))
+    assert np.abs(ours[:n, 0].astype(int) - gold[:n].astype(int)).max() <= 2
+    m = min(len(pcm), len(gold) - 1024)
+    d = gold[1024:1024 + m].astype(np.float64) - pcm[:m, 0]
+    snr = 10 * np.log10((pcm[:m, 0].astype(np.float64) ** 2).mean()
+                        / max((d ** 2).mean(), 1e-9))
+    assert snr > 30, f"SNR {snr:.1f} dB"

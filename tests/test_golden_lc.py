@@ -17,6 +17,7 @@ CONFIGS = [
     ("lc_mono_24k", 24000, 1, 32000),
     ("lc_mono_8k", 8000, 1, 16000),
     ("lc_stereo_96k", 96000, 2, 192000),
+    ("lc_5dot1_48k", 48000, 6, 256000),   # config 6: CPE+SCE+LFE+CPE
 ]
 
 
