@@ -30,8 +30,13 @@ def make_test_streams(n: int = 8, frames: int = 50) -> list:
                                             splice_sbr_into_lc)
 
     enc = Path("/tmp/refbuild/harness/ref_encode")
+    repo_data = Path(__file__).parent / "benchdata"
     out = []
     for i in range(n):
+        bundled = repo_data / f"heaac_bench_stream_{i}.aac"
+        if bundled.exists():
+            out.append(bundled.read_bytes())
+            continue
         cache = Path(f"/tmp/heaac_bench_stream_{i}.aac")
         if cache.exists():
             out.append(cache.read_bytes())
@@ -99,7 +104,7 @@ def make_test_stream(frames: int = 50) -> bytes:
 def main():
     from heaac_tpu.codec import batch as batch_mod
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     streams = make_test_streams(n=min(8, B))
