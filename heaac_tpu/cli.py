@@ -37,25 +37,40 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
 
+    from .bitstream.adts import parse_adts_header, split_adts_stream
+    from .bitstream.reader import BitReader
+
+    hdr = parse_adts_header(BitReader(data[:7]))
+    nframes = len(split_adts_stream(data))
     met = DecodeMetrics(streams=1).start()
-    dec = Decoder(adts_probe=data[:7],
-                  use_native=False if args.no_native else None)
-    pcm = dec.decode(data)
+    err_count = 0
+    try:
+        # fast path: whole-stream batched device decode (one dispatch)
+        from .codec.batch import decode_batch
+        pcm = decode_batch([data])[0]
+    except Exception:
+        dec = Decoder(adts_probe=data[:7],
+                      use_native=False if args.no_native else None)
+        pcm = dec.decode(data)
+        err_count = dec.error_count
     met.stop()
-    met.frames_decoded = len(pcm) // 2048 if dec.m4ac.sbr == 1 else len(pcm) // 1024
-    met.frames_errored = dec.error_count
-    met.audio_seconds = len(pcm) / max(dec.sample_rate, 1)
+    # output rate: 2048-sample frames mean SBR doubled the rate
+    upsampled = nframes and len(pcm) // nframes >= 2048
+    sample_rate = hdr.sample_rate * (2 if upsampled else 1)
+    met.frames_decoded = nframes
+    met.frames_errored = err_count
+    met.audio_seconds = len(pcm) / max(sample_rate, 1)
 
     fmt = args.format or ("wav" if args.output.endswith(".wav") else "s16le")
     if fmt == "wav":
-        write_wav(args.output, pcm, dec.sample_rate)
+        write_wav(args.output, pcm, sample_rate)
     else:
         pcm.astype("<i2").tofile(args.output)
 
     if args.benchmark:
         print(json.dumps(met.as_dict()), file=sys.stderr)
-    print(f"decoded {len(pcm)} samples x {pcm.shape[1]} ch @ {dec.sample_rate} Hz"
-          f" ({dec.error_count} frame errors)", file=sys.stderr)
+    print(f"decoded {len(pcm)} samples x {pcm.shape[1]} ch @ {sample_rate} Hz"
+          f" ({err_count} frame errors)", file=sys.stderr)
     return 0
 
 

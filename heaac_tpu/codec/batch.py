@@ -343,3 +343,68 @@ class LcStreamBatchDecoder:
 
     def audio_seconds(self) -> float:
         return self.B * self.T * 1024 / self.sample_rate
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous batch front door: bucket streams by decode profile
+# ---------------------------------------------------------------------------
+def decode_batch(streams: list) -> list:
+    """Decode many streams of possibly different configurations.
+
+    Streams are bucketed by (profile, sample rate, channel layout) — one
+    compiled graph per bucket (SURVEY.md §7 "heterogeneous batches"); each
+    bucket decodes in one batched device dispatch.  Falls back to the
+    single-stream decoder for configurations without a batched graph
+    (e.g. 34-band PS).  Returns [int16 [n, ch]] in input order.
+    """
+    from ..bitstream.adts import parse_adts_header, probe_adts
+    from ..bitstream.reader import BitReader
+    from .decoder import Decoder
+
+    buckets: dict = {}
+    meta = []
+    for i, data in enumerate(streams):
+        hdr = parse_adts_header(BitReader(data[:7]))
+        # probe SBR presence cheaply: parse the first frame fully
+        probe = Decoder(adts_probe=data[:7])
+        first = split_adts_stream(data)[0]
+        try:
+            probe.decode_frame(first)
+            sbr_on = probe.m4ac.sbr == 1
+            ps34 = any(el.sbr is not None and el.sbr.ps is not None
+                       and el.sbr.ps.is34bands
+                       for el in probe.elements.values())
+        except Exception:
+            sbr_on, ps34 = False, False
+        kind = ("fallback" if ps34 else ("he" if sbr_on else "lc"))
+        key = (kind, hdr.sampling_index, hdr.chan_config)
+        buckets.setdefault(key, []).append(i)
+        meta.append(key)
+
+    results: list = [None] * len(streams)
+    for key, idxs in buckets.items():
+        kind = key[0]
+        group = [streams[i] for i in idxs]
+        if kind == "lc":
+            bd = LcStreamBatchDecoder(group)
+            pcm = np.asarray(bd.decode())       # [T, B*ch, 1024]
+            ch = bd.channels
+            for j, i in enumerate(idxs):
+                lanes = pcm[:, j * ch:(j + 1) * ch]   # [T, ch, 1024]
+                results[i] = lanes.transpose(0, 2, 1).reshape(-1, ch)
+        elif kind == "he":
+            bd = StreamBatchDecoder(group)
+            pcm = np.asarray(bd.decode())       # [T, B*lanes, 2, 2048]
+            lps = bd.lanes_per_stream
+            for j, i in enumerate(idxs):
+                lanes = pcm[:, j * lps:(j + 1) * lps]
+                if lps == 1:                     # mono->stereo (PS or dup)
+                    results[i] = lanes[:, 0].transpose(0, 2, 1).reshape(-1, 2)
+                else:                            # CPE: one channel per lane
+                    chans = [lanes[:, k, 0].reshape(-1) for k in range(lps)]
+                    results[i] = np.stack(chans, axis=-1)
+        else:
+            for i in idxs:
+                dec = Decoder(adts_probe=streams[i][:7])
+                results[i] = dec.decode(streams[i])
+    return results

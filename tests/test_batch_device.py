@@ -101,3 +101,25 @@ def test_batch_interpol_freq0(ref_harness, tmp_path):
     pcm = np.asarray(bd.decode())[:, 0].transpose(0, 2, 1).reshape(-1, 2)
     n = min(len(pcm), len(gold))
     assert np.abs(pcm[:n].astype(int) - gold[:n].astype(int)).max() <= 2
+
+
+@pytest.mark.golden
+def test_heterogeneous_decode_batch(ref_harness):
+    """decode_batch buckets mixed-profile streams and matches the
+    single-stream decoder on every lane."""
+    from heaac_tpu.codec.batch import decode_batch
+    from heaac_tpu.io.heaac_testgen import SbrStreamWriter, PsStreamWriter, \
+        splice_sbr_into_lc
+    from test_golden_lc import CONFIGS  # noqa: F401
+
+    lc_core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 12)
+    he = splice_sbr_into_lc(lc_core, SbrStreamWriter(
+        core_rate=24000, is_cpe=False, env_hi_shift=-12, seed=3,
+        invf_modes=(0,), ps_writer=PsStreamWriter(seed=2)))
+    streams = [lc_core, he, lc_core]
+    res = decode_batch(streams)
+    for s, out in zip(streams, res):
+        ref, _ = decode_adts(s)
+        n = min(len(out), len(ref))
+        assert out.shape[1] == ref.shape[1]
+        assert np.abs(out[:n].astype(int) - ref[:n].astype(int)).max() <= 2
