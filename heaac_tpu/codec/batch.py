@@ -27,6 +27,7 @@ class PlanningDecoder(Decoder):
         self.frames_core = []
         self.frames_sbr = []
         self.frames_ps = []
+        self.ps_is34 = None   # stream band mode, fixed at first PS frame
 
     def _spectral_to_sample(self, present):
         m = self.m4ac
@@ -56,17 +57,23 @@ class PlanningDecoder(Decoder):
                     el.sbr.sample_rate = 2 * m.sample_rate
                 if not m.ext_sample_rate:
                     m.ext_sample_rate = 2 * m.sample_rate
-                if el.sbr.ps is not None and el.sbr.ps.is34bands:
-                    raise NotImplementedError(
-                        "34-band PS is unsupported by the batched graph; "
-                        "use the single-stream Decoder")
+                if el.sbr.ps is not None and el.sbr.ps.start:
+                    cur34 = int(el.sbr.ps.is34bands)
+                    if self.ps_is34 is None:
+                        self.ps_is34 = cur34
+                    elif self.ps_is34 != cur34:
+                        # band mode flips mid-stream: the scan graph is
+                        # compiled per mode -> single-stream numpy fallback
+                        raise NotImplementedError(
+                            "PS band mode changes mid-stream")
                 plan = frame_plan.build_sbr_plan(
                     el.sbr, lane.ch, lane.elem_type,
                     dequant_done=key in done)
                 done.add(key)
                 top = el.sbr.kx[1] + el.sbr.m[1]
                 ps_plan = frame_plan.build_ps_plan(
-                    el.sbr.ps if is_ps else None, top)
+                    el.sbr.ps if is_ps else None, top,
+                    is34=self.ps_is34 or 0)
             else:
                 plan = frame_plan._zeros_plan()
                 ps_plan = frame_plan.build_ps_plan(None, 64)
@@ -123,7 +130,7 @@ def parse_stream_plans(data: bytes):
     ps = {k: np.stack([np.stack([np.asarray(lane[k]) for lane in fp])
                        for fp in dec.frames_ps])
           for k in dec.frames_ps[0][0]}
-    return core, sbr, ps, dec.sample_rate, nl
+    return core, sbr, ps, dec.sample_rate, nl, dec.ps_is34 or 0
 
 
 class BatchDecoder:
@@ -131,8 +138,9 @@ class BatchDecoder:
 
     def __init__(self, stream: bytes, batch: int = 512):
         self.B = batch
-        core, sbr, ps, rate = parse_stream_plans(stream)
+        core, sbr, ps, rate, _nl, is34 = parse_stream_plans(stream)
         self.sample_rate = rate
+        self.is34 = is34
         self.T = len(core["coeffs"])
         # tile per-frame plans across the batch lazily per frame
         self.core, self.sbr, self.ps = core, sbr, ps
@@ -151,7 +159,7 @@ class BatchDecoder:
         step = jitted_heaac_frame()
         self.state = init_state(self.B)
         c, s, p = self.frame_inputs(0)
-        pcm, st = step(c, s, p, self.state)
+        pcm, st = step(c, s, p, self.state, self.is34)
         pcm.block_until_ready()
         # state was donated; rebuild fresh for the timed run
         self.state = init_state(self.B)
@@ -164,7 +172,7 @@ class BatchDecoder:
         pcm = None
         for t in range(self.T):
             c, s, p = self.frame_inputs(t)
-            pcm, state = step(c, s, p, state)
+            pcm, state = step(c, s, p, state, self.is34)
         pcm.block_until_ready()
         self.state = None
         return self.B * self.T * 2048 / self.sample_rate
@@ -176,7 +184,7 @@ class BatchDecoder:
         outs = []
         for t in range(self.T):
             c, s, p = self.frame_inputs(t)
-            pcm, state = step(c, s, p, state)
+            pcm, state = step(c, s, p, state, self.is34)
             outs.append(np.asarray(pcm))
         pcm_f = np.concatenate(outs, axis=2)           # [B,2,T*2048]
         pcm = np.clip(np.rint(pcm_f), -32768, 32767).astype(np.int16)
@@ -186,7 +194,7 @@ class BatchDecoder:
 # ---------------------------------------------------------------------------
 # Device-resident stream decode: one scan over all frames
 # ---------------------------------------------------------------------------
-def _make_scan_decoder():
+def _make_scan_decoder(is34: int = 0):
     """jit of: scan the fused frame graph over T frames with the per-lane
     plan sequences resident on device (zero per-frame host traffic)."""
     import jax
@@ -196,7 +204,7 @@ def _make_scan_decoder():
 
     def body(state, frame):
         core, sbr, ps = frame
-        pcm, state = heaac_frame(core, sbr, ps, state)
+        pcm, state = heaac_frame(core, sbr, ps, state, is34)
         pcm16 = jnp.clip(jnp.rint(pcm), -32768, 32767).astype(jnp.int16)
         return state, pcm16
 
@@ -223,6 +231,10 @@ class StreamBatchDecoder:
         per = [parse_stream_plans(s) for s in streams]
         rate = per[0][3]
         self.lanes_per_stream = per[0][4]
+        self.is34 = per[0][5]
+        if any(p[5] != self.is34 for p in per):
+            raise NotImplementedError(
+                "mixed PS band modes in one batch (bucket by is34)")
         T = min(len(p[0]["coeffs"]) for p in per)
         n = len(per)
         B = batch or n  # B = number of streams; lanes = B * lanes_per_stream
@@ -237,7 +249,7 @@ class StreamBatchDecoder:
         self.core = jax.device_put(stack(0))
         self.sbr = jax.device_put(stack(1))
         self.ps = jax.device_put(stack(2))
-        self.run_fn = _make_scan_decoder()
+        self.run_fn = _make_scan_decoder(self.is34)
 
     def decode(self):
         """Returns pcm [T, B*lanes_per_stream, 2, 2048] int16."""
@@ -353,9 +365,10 @@ def decode_batch(streams: list) -> list:
 
     Streams are bucketed by (profile, sample rate, channel layout) — one
     compiled graph per bucket (SURVEY.md §7 "heterogeneous batches"); each
-    bucket decodes in one batched device dispatch.  Falls back to the
-    single-stream decoder for configurations without a batched graph
-    (e.g. 34-band PS).  Returns [int16 [n, ch]] in input order.
+    bucket decodes in one batched device dispatch (34-band PS streams get
+    their own bucket: the graph is compiled per band mode).  Falls back to
+    the single-stream decoder for unparsable streams.  Returns
+    [int16 [n, ch]] in input order.
     """
     from ..bitstream.adts import parse_adts_header, probe_adts
     from ..bitstream.reader import BitReader
@@ -376,8 +389,8 @@ def decode_batch(streams: list) -> list:
                        for el in probe.elements.values())
         except Exception:
             sbr_on, ps34 = False, False
-        kind = ("fallback" if ps34 else ("he" if sbr_on else "lc"))
-        key = (kind, hdr.sampling_index, hdr.chan_config)
+        kind = "he" if sbr_on else "lc"
+        key = (kind, hdr.sampling_index, hdr.chan_config, int(ps34))
         buckets.setdefault(key, []).append(i)
         meta.append(key)
 
@@ -385,26 +398,38 @@ def decode_batch(streams: list) -> list:
     for key, idxs in buckets.items():
         kind = key[0]
         group = [streams[i] for i in idxs]
-        if kind == "lc":
-            bd = LcStreamBatchDecoder(group)
-            pcm = np.asarray(bd.decode())       # [T, B*ch, 1024]
-            ch = bd.channels
-            for j, i in enumerate(idxs):
-                lanes = pcm[:, j * ch:(j + 1) * ch]   # [T, ch, 1024]
-                results[i] = lanes.transpose(0, 2, 1).reshape(-1, ch)
-        elif kind == "he":
-            bd = StreamBatchDecoder(group)
-            pcm = np.asarray(bd.decode())       # [T, B*lanes, 2, 2048]
-            lps = bd.lanes_per_stream
-            for j, i in enumerate(idxs):
-                lanes = pcm[:, j * lps:(j + 1) * lps]
-                if lps == 1:                     # mono->stereo (PS or dup)
-                    results[i] = lanes[:, 0].transpose(0, 2, 1).reshape(-1, 2)
-                else:                            # CPE: one channel per lane
-                    chans = [lanes[:, k, 0].reshape(-1) for k in range(lps)]
-                    results[i] = np.stack(chans, axis=-1)
-        else:
+        try:
+            _decode_bucket(kind, group, idxs, streams, results)
+        except Exception:
+            # anything the batched graphs cannot plan (mid-stream config
+            # changes, exotic layouts) decodes on the single-stream path
             for i in idxs:
                 dec = Decoder(adts_probe=streams[i][:7])
                 results[i] = dec.decode(streams[i])
     return results
+
+
+def _decode_bucket(kind, group, idxs, streams, results):
+    from .decoder import Decoder
+    if kind == "lc":
+        bd = LcStreamBatchDecoder(group)
+        pcm = np.asarray(bd.decode())       # [T, B*ch, 1024]
+        ch = bd.channels
+        for j, i in enumerate(idxs):
+            lanes = pcm[:, j * ch:(j + 1) * ch]   # [T, ch, 1024]
+            results[i] = lanes.transpose(0, 2, 1).reshape(-1, ch)
+    elif kind == "he":
+        bd = StreamBatchDecoder(group)
+        pcm = np.asarray(bd.decode())       # [T, B*lanes, 2, 2048]
+        lps = bd.lanes_per_stream
+        for j, i in enumerate(idxs):
+            lanes = pcm[:, j * lps:(j + 1) * lps]
+            if lps == 1:                     # mono->stereo (PS or dup)
+                results[i] = lanes[:, 0].transpose(0, 2, 1).reshape(-1, 2)
+            else:                            # CPE: one channel per lane
+                chans = [lanes[:, k, 0].reshape(-1) for k in range(lps)]
+                results[i] = np.stack(chans, axis=-1)
+    else:
+        for i in idxs:
+            dec = Decoder(adts_probe=streams[i][:7])
+            results[i] = dec.decode(streams[i])

@@ -240,15 +240,17 @@ def stack_plans(plans: list[SbrChannelPlan]) -> dict[str, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
-# Parametric Stereo plan (20-band device mode)
+# Parametric Stereo plan
 # ---------------------------------------------------------------------------
-def build_ps_plan(ps, top: int) -> dict:
+def build_ps_plan(ps, top: int, is34: int = 0) -> dict:
     """Compute per-frame PS device inputs and advance host H-state.
 
     Mirrors the H-matrix half of the reference stereo processing
     (aacps.c:794-902): remapping, IPD/OPD phase smoothing with history, and
     the per-envelope mixing matrices; the device graph only interpolates
-    and mixes.  20-band mode only (is34 streams use the numpy path)."""
+    and mixes.  `is34` is the stream's static band mode: the device graph
+    is compiled per mode, so a mid-stream band-mode flip cannot be planned
+    (callers fall back to the single-stream numpy path)."""
     from ..ops import ps_np
     from ..tables import ps_tables as P
 
@@ -260,12 +262,14 @@ def build_ps_plan(ps, top: int) -> dict:
         "ipd_on": np.float32(0),
         "top_mask": np.ones(91, np.float32),
     }
-    if ps is None or not ps.start or ps.is34bands:
+    if ps is None or not ps.start:
         # identity mix: L' = L, R' = decorrelated*0 + ... -> handled by
         # the caller (R = L when PS inactive)
         return plan
+    if int(ps.is34bands) != is34:
+        raise NotImplementedError(
+            "PS band mode differs from the stream's compiled mode")
     plan["ps_on"] = np.float32(1)
-    is34 = 0
     HA, HB = P.mixing_luts()
     pd_re, pd_im = P.pd_smooth()
     H11, H12, H21, H22 = ps.H11, ps.H12, ps.H21, ps.H22
@@ -281,7 +285,13 @@ def build_ps_plan(ps, top: int) -> dict:
                                   0, is34)
         opd_mapped = ps_np._remap(ps.opd_par, ps.nr_ipdopd_par, ps.num_env,
                                   0, is34)
-    if ps.is34bands_old:
+    if is34 and not ps.is34bands_old:
+        for H in (H11, H12, H21, H22):
+            H[0][0] = ps_np._map_val_20_to_34(H[0][0])
+            H[1][0] = ps_np._map_val_20_to_34(H[1][0])
+        ps.ipd_hist[:] = 0
+        ps.opd_hist[:] = 0
+    elif not is34 and ps.is34bands_old:
         for H in (H11, H12, H21, H22):
             H[0][0] = ps_np._map_val_34_to_20(H[0][0])
             H[1][0] = ps_np._map_val_34_to_20(H[1][0])

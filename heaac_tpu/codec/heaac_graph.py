@@ -36,7 +36,7 @@ class HeaacState(NamedTuple):
     v1: jax.Array           # [B,9,128] synthesis FIFO R
     ps_in_buf: jax.Array    # [B,5,6,2]
     ps_delay: jax.Array     # [B,91,14,2]
-    ps_ap: jax.Array        # [B,30,3,5,2]
+    ps_ap: jax.Array        # [B,50,3,5,2] (20-band uses rows :30)
     ps_trans: jax.Array     # [B,34,3]
 
 
@@ -46,12 +46,15 @@ def init_state(B: int) -> HeaacState:
         saved=z(512), x_hist=z(288), W_prev=z(32, 32, 2),
         Y_prev=z(38, 64, 2), g_temp=z(42, 48), q_temp=z(42, 48),
         v0=z(9, 128), v1=z(9, 128), ps_in_buf=z(5, 6, 2),
-        ps_delay=z(91, 14, 2), ps_ap=z(30, 3, 5, 2), ps_trans=z(34, 3),
+        ps_delay=z(91, 14, 2), ps_ap=z(50, 3, 5, 2), ps_trans=z(34, 3),
     )
 
 
-def heaac_frame(core, plan, ps_plan, state: HeaacState):
-    """One frame for B mono HE-AACv2 lanes -> (pcm [B,2,2048], state)."""
+def heaac_frame(core, plan, ps_plan, state: HeaacState, is34: int = 0):
+    """One frame for B mono HE-AACv2 lanes -> (pcm [B,2,2048], state).
+
+    is34 selects the PS hybrid band mode (static: separate jit variant;
+    aacps.c ps->is34bands)."""
     m2048, m256, bank = core_consts()
     time_out, saved = core_frame(core["coeffs"], state.saved, core["ws"],
                                  core["wsp"], core["kbd"], core["kbdp"],
@@ -72,13 +75,13 @@ def heaac_frame(core, plan, ps_plan, state: HeaacState):
         X_high, gain, q_m, s_m, state.g_temp, state.q_temp, plan)
     X, y_cur = sbr_jax.x_gen(X_low, Y_m, state.Y_prev, env_on, plan)
 
-    lbuf, ps_in_buf = ps_jax.hybrid_analysis(X, state.ps_in_buf)
+    lbuf, ps_in_buf = ps_jax.hybrid_analysis(X, state.ps_in_buf, is34)
     ps_state = dict(delay=state.ps_delay, ap=state.ps_ap,
                     trans=state.ps_trans)
     lmix, rmix, ps_state_new = ps_jax.decorrelate_and_mix(lbuf, ps_state,
-                                                          ps_plan)
-    Lp = ps_jax.hybrid_synthesis(lmix)
-    Rp = ps_jax.hybrid_synthesis(rmix)
+                                                          ps_plan, is34)
+    Lp = ps_jax.hybrid_synthesis(lmix, is34)
+    Rp = ps_jax.hybrid_synthesis(rmix, is34)
     on = ps_plan["ps_on"][:, None, None, None]
     Lx = jnp.where(on > 0, Lp, X)
     Rx = jnp.where(on > 0, Rp, X)
@@ -103,4 +106,5 @@ def heaac_frame(core, plan, ps_plan, state: HeaacState):
 
 @functools.cache
 def jitted_heaac_frame():
-    return jax.jit(heaac_frame, donate_argnums=(3,))
+    # is34 is static: each band mode compiles its own specialization
+    return jax.jit(heaac_frame, donate_argnums=(3,), static_argnums=(4,))

@@ -1,4 +1,4 @@
-"""Batched Parametric Stereo as a fused XLA graph (20-band mode).
+"""Batched Parametric Stereo as a fused XLA graph (20- and 34-band).
 
 Device half of HE-AAC v2 (reference DSP: aacps.c:283-992) over [B] lanes.
 The mixing matrices (pure bitstream data + persistent host state) arrive
@@ -19,14 +19,11 @@ import numpy as np
 from ..tables import ps_tables as P
 
 HIGHEST = jax.lax.Precision.HIGHEST
-IS34 = 0  # 20-band mode (34-band streams fall back to the numpy path)
-
-
 @functools.cache
-def _consts():
+def _consts(is34: int = 0):
     f = P.hybrid_filters()
-    k_to_i = P.k_to_i(IS34)                       # [71]
-    nr_bands = P.NR_BANDS[IS34]                   # 71
+    k_to_i = P.k_to_i(is34)                       # [71 or 91]
+    nr_bands = P.NR_BANDS[is34]
     # one-hot [91, 34] for power aggregation (rows >= nr_bands zero)
     agg = np.zeros((91, 34), np.float32)
     for k in range(nr_bands):
@@ -35,45 +32,73 @@ def _consts():
     k2i = np.zeros(91, np.int32)
     k2i[:nr_bands] = k_to_i[:nr_bands]
     q_fract, phi_fract = P.fractional_delays()
-    napb = P.NR_ALLPASS_BANDS[IS34]               # 30
-    gds = np.clip(1.0 - 0.05 * (np.arange(napb) - P.DECAY_CUTOFF[IS34]),
+    napb = P.NR_ALLPASS_BANDS[is34]               # 30 or 50
+    gds = np.clip(1.0 - 0.05 * (np.arange(napb) - P.DECAY_CUTOFF[is34]),
                   0.0, 1.0).astype(np.float32)
-    ag = (P.AP_A[None, :] * gds[:, None]).astype(np.float32)   # [30,3]
-    qf = q_fract[IS34][:napb].astype(np.float32)               # [30,3,2]
-    pf = phi_fract[IS34][:napb].astype(np.float32)             # [30,2]
-    # complex hybrid filter for band 0 (8 sub-bands) and real for 1,2
-    return dict(f20=f["f20_0_8"], g1=f["g1_Q2"], agg=agg, k2i=k2i,
-                ag=ag, qf=qf, pf=pf, napb=napb, nr_bands=nr_bands)
+    ag = (P.AP_A[None, :] * gds[:, None]).astype(np.float32)   # [napb,3]
+    qf = q_fract[is34][:napb].astype(np.float32)               # [napb,3,2]
+    pf = phi_fract[is34][:napb].astype(np.float32)             # [napb,2]
+    # ipd imaginary start-sign flip bands (aacps.c:919)
+    flip = np.zeros(91, np.float32)
+    if is34:
+        flip[9:14] = 1.0
+    else:
+        flip[:2] = 1.0
+    return dict(f20=f["f20_0_8"], g1=f["g1_Q2"],
+                f34_0=f["f34_0_12"], f34_1=f["f34_1_8"], f34_2=f["f34_2_4"],
+                agg=agg, k2i=k2i, ag=ag, qf=qf, pf=pf, napb=napb,
+                nr_bands=nr_bands, flip=flip,
+                short_delay=P.SHORT_DELAY_BAND[is34])
 
 
-def hybrid_analysis(L, in_buf):
-    """L [B,2,38,64], in_buf [B,5,6,2] -> (lbuf [B,91,32,2], new in_buf).
-
-    aacps.c:359-395, 20-band mode."""
-    c = _consts()
-    lin = jnp.stack([jnp.swapaxes(L[:, 0, :, :5], 1, 2),
-                     jnp.swapaxes(L[:, 1, :, :5], 1, 2)], axis=-1)  # [B,5,38,2]
-    full = jnp.concatenate([in_buf, lin], axis=2)                  # [B,5,44,2]
-    idx = np.arange(32)[:, None] + np.arange(13)[None, :]           # [32,13]
-    w = full[:, :, idx]                                             # [B,5,32,13,2]
-
-    # band 0 -> 6 complex sub-bands via f20_0_8 (hybrid6_cx, aacps.c:303)
-    w0 = w[:, 0]                                                    # [B,32,13,2]
-    in0 = w0[:, :, 0:6]
-    in1 = w0[:, :, 12:6:-1]
-    filt = c["f20"]                                                 # [8,7,2]
+def _hybrid_cx(w, filt):
+    """Generic N-subband complex hybrid filter (aacps.c:338-357).
+    w: [B,32,13,2] window; filt: [N,7,2] -> (re, im) each [B,N,32]."""
+    in0 = w[:, :, 0:6]
+    in1 = w[:, :, 12:6:-1]
     f_re, f_im = filt[:, :6, 0], filt[:, :6, 1]
     ctr = filt[:, 6, 0]
     s_re = (jnp.einsum("nj,blj->bnl", f_re, in0[..., 0] + in1[..., 0],
                        precision=HIGHEST)
             - jnp.einsum("nj,blj->bnl", f_im, in0[..., 1] - in1[..., 1],
                          precision=HIGHEST)
-            + ctr[None, :, None] * w0[:, None, :, 6, 0])
+            + ctr[None, :, None] * w[:, None, :, 6, 0])
     s_im = (jnp.einsum("nj,blj->bnl", f_re, in0[..., 1] + in1[..., 1],
                        precision=HIGHEST)
             + jnp.einsum("nj,blj->bnl", f_im, in0[..., 0] - in1[..., 0],
                          precision=HIGHEST)
-            + ctr[None, :, None] * w0[:, None, :, 6, 1])
+            + ctr[None, :, None] * w[:, None, :, 6, 1])
+    return s_re, s_im
+
+
+def hybrid_analysis(L, in_buf, is34: int = 0):
+    """L [B,2,38,64], in_buf [B,5,6,2] -> (lbuf [B,91,32,2], new in_buf).
+
+    aacps.c:359-395."""
+    c = _consts(is34)
+    lin = jnp.stack([jnp.swapaxes(L[:, 0, :, :5], 1, 2),
+                     jnp.swapaxes(L[:, 1, :, :5], 1, 2)], axis=-1)  # [B,5,38,2]
+    full = jnp.concatenate([in_buf, lin], axis=2)                  # [B,5,44,2]
+    idx = np.arange(32)[:, None] + np.arange(13)[None, :]           # [32,13]
+    w = full[:, :, idx]                                             # [B,5,32,13,2]
+
+    if is34:
+        # bands 0..4 -> 12+8+4+4+4 complex sub-bands (aacps.c:368-379)
+        parts_re, parts_im = [], []
+        for bi, fname in ((0, "f34_0"), (1, "f34_1"), (2, "f34_2"),
+                          (3, "f34_2"), (4, "f34_2")):
+            r, im = _hybrid_cx(w[:, bi], c[fname])
+            parts_re.append(r)
+            parts_im.append(im)
+        direct_re = jnp.swapaxes(L[:, 0, :32, 5:64], 1, 2)          # [B,59,32]
+        direct_im = jnp.swapaxes(L[:, 1, :32, 5:64], 1, 2)
+        lbuf_re = jnp.concatenate(parts_re + [direct_re], 1)        # [B,91,32]
+        lbuf_im = jnp.concatenate(parts_im + [direct_im], 1)
+        return (jnp.stack([lbuf_re, lbuf_im], -1), full[:, :, 32:38])
+
+    # band 0 -> 6 complex sub-bands via f20_0_8 (hybrid6_cx, aacps.c:303)
+    w0 = w[:, 0]                                                    # [B,32,13,2]
+    s_re, s_im = _hybrid_cx(w0, c["f20"])
     # shuffle (aacps.c:323-335): out0..5 from sub-bands 6,7,0,1,2+5,3+4
     b0_re = jnp.stack([s_re[:, 6], s_re[:, 7], s_re[:, 0], s_re[:, 1],
                        s_re[:, 2] + s_re[:, 5], s_re[:, 3] + s_re[:, 4]], 1)
@@ -105,17 +130,19 @@ def hybrid_analysis(L, in_buf):
     return (jnp.stack([lbuf_re, lbuf_im], -1), full[:, :, 32:38])
 
 
-def decorrelate_and_mix(lbuf, state, plan):
+def decorrelate_and_mix(lbuf, state, plan, is34: int = 0):
     """Transient detection, allpass decorrelation, stereo mix.
 
-    lbuf [B,91,32,2]; state dict with delay [B,91,14,2], ap [B,30,3,5,2],
-    trans [B,34,3]; plan with H [B,2,6,34,4], V [B,6,32], ipd_on [B],
+    lbuf [B,91,32,2]; state dict with delay [B,91,14,2], ap [B,50,3,5,2],
+    trans [B,34,3]; plan with H [B,2,6,34,4], Ws/We [B,6,32], ipd_on [B],
     top_mask [B,91].  Returns (lmix, rmix [B,91,32,2], new_state)."""
-    c = _consts()
+    c = _consts(is34)
+    napb = c["napb"]
     B = lbuf.shape[0]
     tm = plan["top_mask"][:, :, None, None]
     delay_hist = state["delay"] * tm
-    ap = state["ap"] * plan["top_mask"][:, :30, None, None, None]
+    ap = state["ap"][:, :napb] * plan["top_mask"][:, :napb, None, None,
+                                                  None]
 
     power = jnp.einsum("bkn,ki->bin",
                        lbuf[..., 0] ** 2 + lbuf[..., 1] ** 2, c["agg"],
@@ -141,8 +168,8 @@ def decorrelate_and_mix(lbuf, state, plan):
     delay_full = jnp.concatenate([delay_hist, lbuf], axis=2)     # [B,91,46,2]
     new_delay = delay_full[:, :, 32:]
 
-    # allpass bands: phi-rotated 2-slot-delayed input (aacsbr.c:714-717)
-    din = delay_full[:, :30, 12:44]                              # [B,30,32,2]
+    # allpass bands: phi-rotated 2-slot-delayed input (aacps.c:714-717)
+    din = delay_full[:, :napb, 12:44]                            # [B,napb,32,2]
     pf = c["pf"]
     in_re = din[..., 0] * pf[None, :, 0:1] - din[..., 1] * pf[None, :, 1:2]
     in_im = din[..., 0] * pf[None, :, 1:2] + din[..., 1] * pf[None, :, 0:1]
@@ -150,7 +177,7 @@ def decorrelate_and_mix(lbuf, state, plan):
     qf = c["qf"]                                                 # [30,3,2]
 
     def ap_step(buf, x):
-        # buf [B,30,3,5,2]; x [B,30,2]
+        # buf [B,napb,3,5,2]; x [B,napb,2]
         cur_re, cur_im = x[..., 0], x[..., 1]
         outs_re, outs_im = cur_re, cur_im
         new_cols = []
@@ -172,18 +199,19 @@ def decorrelate_and_mix(lbuf, state, plan):
 
     x_seq = jnp.moveaxis(jnp.stack([in_re, in_im], -1), 2, 0)    # [32,B,30,2]
     ap_new, ap_out = jax.lax.scan(ap_step, ap, x_seq)
-    ap_out = jnp.moveaxis(ap_out, 0, 2)                          # [B,30,32,2]
+    ap_out = jnp.moveaxis(ap_out, 0, 2)                          # [B,napb,32,2]
 
-    out_ap = ap_out * tgain_k[:, :30, :, None]
+    sd = c["short_delay"]
+    out_ap = ap_out * tgain_k[:, :napb, :, None]
     # short (delay 14) and long (delay 1) bands (aacps.c:736-753).
     # Built as concat-of-slices from the two source arrays rather than
     # slices of delay_full: the slice-of-concat + broadcast-multiply fusion
     # miscompiles on the axon TPU backend (verified vs numpy).
-    d14 = jnp.concatenate([delay_hist[:, 30:42], lbuf[:, 30:42, 0:18]],
+    d14 = jnp.concatenate([delay_hist[:, napb:sd], lbuf[:, napb:sd, 0:18]],
                           axis=2)
-    d1 = jnp.concatenate([delay_hist[:, 42:, 13:14], lbuf[:, 42:, 0:31]],
+    d1 = jnp.concatenate([delay_hist[:, sd:, 13:14], lbuf[:, sd:, 0:31]],
                          axis=2)
-    out_rest = jnp.concatenate([d14, d1], axis=1) * tgain_k[:, 30:, :, None]
+    out_rest = jnp.concatenate([d14, d1], axis=1) * tgain_k[:, napb:, :, None]
     rbuf = jnp.concatenate([out_ap, out_rest], axis=1)           # [B,91,32,2]
 
     # ---- stereo mixing (aacps.c:863-969) ----
@@ -200,8 +228,7 @@ def decorrelate_and_mix(lbuf, state, plan):
     hk_re = jnp.take(h_re, c["k2i"], axis=2)                     # [B,32,91,4]
     hk_imp = jnp.take(h_im_pos, c["k2i"], axis=2)
     hk_imn = jnp.take(h_im_neg, c["k2i"], axis=2)
-    flip = np.zeros(91, np.float32)
-    flip[:2] = 1.0                                               # k<=1 flip
+    flip = c["flip"]
     hk_im = hk_imp * (1.0 - flip)[None, None, :, None] \
         + hk_imn * flip[None, None, :, None]
     h_re = jnp.moveaxis(hk_re, 1, 2)                             # [B,91,32,4]
@@ -219,14 +246,26 @@ def decorrelate_and_mix(lbuf, state, plan):
 
     lmix = jnp.stack([lm_re, lm_im], -1)
     rmix = jnp.stack([rm_re, rm_im], -1)
+    if napb < 50:  # keep the state container at the 34-band size
+        ap_new = jnp.concatenate(
+            [ap_new, state["ap"][:, napb:]], axis=1)
     new_state = dict(delay=new_delay, ap=ap_new,
                      trans=jnp.stack(tstate, -1))
     return lmix, rmix, new_state
 
 
-def hybrid_synthesis(buf):
-    """[B,91,32,2] -> [B,2,38,64] (aacps.c:427-443, 20-band)."""
+def hybrid_synthesis(buf, is34: int = 0):
+    """[B,91,32,2] -> [B,2,38,64] (aacps.c:397-445)."""
     B = buf.shape[0]
+    if is34:
+        groups = [buf[:, 0:12].sum(1), buf[:, 12:20].sum(1),
+                  buf[:, 20:24].sum(1), buf[:, 24:28].sum(1),
+                  buf[:, 28:32].sum(1)]
+        first = jnp.stack(groups, axis=1)                        # [B,5,32,2]
+        full = jnp.concatenate([first, buf[:, 32:91]], axis=1)   # [B,64,32,2]
+        X = jnp.swapaxes(full, 1, 2)
+        X = jnp.pad(X, ((0, 0), (0, 6), (0, 0), (0, 0)))
+        return jnp.stack([X[..., 0], X[..., 1]], axis=1)
     band0 = buf[:, 0:6].sum(1)                                   # [B,32,2]
     band1 = buf[:, 6:8].sum(1)
     band2 = buf[:, 8:10].sum(1)

@@ -104,6 +104,34 @@ def test_batch_interpol_freq0(ref_harness, tmp_path):
 
 
 @pytest.mark.golden
+def test_batch_ps_34band(ref_harness, tmp_path):
+    """34-band PS: the batched graph compiles its own band-mode variant
+    (ps_jax is34 specialization) and must match the reference."""
+    import subprocess
+
+    from heaac_tpu.io.heaac_testgen import (PsStreamWriter, SbrStreamWriter,
+                                            splice_sbr_into_lc)
+
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 15)
+    he = splice_sbr_into_lc(core, SbrStreamWriter(
+        core_rate=24000, is_cpe=False, env_hi_shift=-12, seed=3,
+        invf_modes=(0,),
+        ps_writer=PsStreamWriter(seed=4, iid_mode=2, icc_mode=2)))
+    p = tmp_path / "p34.aac"
+    p.write_bytes(he)
+    g = tmp_path / "p34.gold"
+    subprocess.run([ref_harness["decode"], str(p), str(g)], check=True,
+                   capture_output=True)
+    gold = np.fromfile(g, np.int16).reshape(-1, 2)
+    bd = StreamBatchDecoder([he], batch=2)
+    assert bd.is34 == 1
+    pcm = np.asarray(bd.decode())[:, 0].transpose(0, 2, 1).reshape(-1, 2)
+    n = min(len(pcm), len(gold))
+    d = np.abs(pcm[:n].astype(int) - gold[:n].astype(int))
+    assert d.max() <= 2, f"batch-vs-reference max LSB {d.max()}"
+
+
+@pytest.mark.golden
 def test_heterogeneous_decode_batch(ref_harness):
     """decode_batch buckets mixed-profile streams and matches the
     single-stream decoder on every lane."""
