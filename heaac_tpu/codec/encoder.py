@@ -1,15 +1,27 @@
-"""AAC-LC encoder (secondary capability; reference aacenc.c/aaccoder.c).
+"""AAC encoder (secondary capability; reference aacenc.c/aaccoder.c/aacpsy.c).
 
-A clean-room, psychoacoustics-free encoder producing spec-conformant
-AAC-LC: long windows, per-band scalefactor selection targeting a uniform
-quantization quality, optimal per-band Huffman codebook choice, section
-coding and ADTS packaging.  The analysis MDCT is derived as the exact
-adjoint of this framework's (reference-validated) synthesis pipeline, so
-encode->decode round trips reconstruct within quantization error.
+A clean-room encoder producing spec-conformant AAC-LC and AAC-Main:
 
-Where the reference couples its encoder to a 3GPP psy model and trellis
-codebook search (aacpsy.c, aaccoder.c) for rate/quality tuning, this
-encoder optimizes for simplicity and conformance; quality knob = ``qstep``.
+- **Window switching** (aacenc.c window decision + psy attack detection,
+  aacpsy.c): high-pass attack detector over 128-sample sub-blocks drives a
+  legal ONLY_LONG -> LONG_START -> EIGHT_SHORT -> LONG_STOP state machine;
+  short frames are grouped around the attack position.
+- **Psychoacoustic bit allocation** (3GPP-style, aacpsy.c): per-band
+  masking thresholds from spread band energies (bark-domain two-sided
+  spreading + absolute threshold), converted to per-band scalefactors.
+- **Rate control** (aacenc.c:560-580 bit-reservoir analogue): a global
+  quality lambda adapts per frame to hit the target bitrate, with bounded
+  in-frame re-encoding when a frame lands far off target.
+- **Codebook/section coding** (aaccoder.c): exact-bit-cost codebook choice
+  per band among all admissible codebooks, greedy section merging.
+- AAC-Main frequency-domain prediction with a mirrored decoder state
+  machine (aacdec.c:1271-1322); short frames reset all predictors exactly
+  like the decoder (apply_prediction's EIGHT_SHORT branch).
+
+TPU-first layout: the analysis MDCTs for all window sequences are constant
+matrices (adjoints of this framework's reference-validated synthesis path,
+perfect reconstruction ~1e-7), so a whole stream's filterbank is a single
+batched matmul; psy energies/thresholds are vectorized over frames.
 """
 from __future__ import annotations
 
@@ -22,26 +34,161 @@ from ..io.bitwriter import BitWriter
 from ..tables import aac_tables as T
 
 MAX_QUANT = 8191
+ONLY_LONG, LONG_START, EIGHT_SHORT, LONG_STOP = 0, 1, 2, 3
+
+
+# ---------------------------------------------------------------------------
+# Analysis filterbank: forward MDCT per window sequence
+# ---------------------------------------------------------------------------
+def _S_pattern(n2: int, r: np.ndarray, f: np.ndarray) -> np.ndarray:
+    """[n2, 2*n2] synthesis-contribution matrix: imdct_half output ->
+    windowed time contribution (rising window r, falling window f, both
+    length n2).  Mirrors the decoder's extension symmetry + fmul_window
+    (ops/windowing.py; dsputil.c:3832)."""
+    q = n2 // 2
+    S = np.zeros((n2, 2 * n2))
+    i = np.arange(q)
+    S[q - 1 - i, i] = -r[i]
+    S[i, q + i] = r[q + i]
+    S[q + i, n2 + i] = f[i]
+    S[q + q - 1 - i, n2 + q + i] = f[q + i]
+    return S
 
 
 @functools.cache
-def _analysis_matrix() -> np.ndarray:
-    """[2048, 1024] float32: windowed forward MDCT matched to the decoder
-    synthesis (adjoint of the long-window overlap-add; scale 1/512)."""
+def _forward_matrices() -> dict:
+    """ws -> [2048, 1024] float32 forward transform (windowing + MDCT),
+    the exact adjoint of the decoder synthesis for that window sequence
+    (sine windows).  Verified perfect-reconstruction vs codec/core.py."""
     from ..ops.imdct import imdct_half_matrix
 
-    M = imdct_half_matrix(1024).astype(np.float64)
-    w = T.sine_window(1024).astype(np.float64)
-    S = np.zeros((1024, 2048))
-    i = np.arange(512)
-    S[511 - i, i] += -w[i]
-    S[i, 512 + i] += w[512 + i]
-    S[512 + i, 1024 + i] += w[1023 - i]
-    S[512 + 511 - i, 1024 + 512 + i] += w[511 - i]
-    A = M @ S
-    return (A.T / 512.0).astype(np.float32)
+    sl = T.sine_window(1024).astype(np.float64)
+    ss = T.sine_window(128).astype(np.float64)
+    M1024 = imdct_half_matrix(1024, 1.0).astype(np.float64)
+    M128 = imdct_half_matrix(128, 1.0).astype(np.float64)
+    ones, zeros = np.ones(448), np.zeros(448)
+    F = {
+        ONLY_LONG: (M1024 @ _S_pattern(1024, sl, sl[::-1])).T / 512.0,
+        LONG_START: (M1024 @ _S_pattern(
+            1024, sl, np.concatenate([ones, ss[::-1], zeros]))).T / 512.0,
+        LONG_STOP: (M1024 @ _S_pattern(
+            1024, np.concatenate([zeros, ss, ones]), sl[::-1])).T / 512.0,
+    }
+    Fs = np.zeros((2048, 1024))
+    blk = (M128 @ _S_pattern(128, ss, ss[::-1])).T / 64.0
+    for k in range(8):
+        Fs[448 + 128 * k:448 + 128 * k + 256, 128 * k:128 * k + 128] = blk
+    F[EIGHT_SHORT] = Fs
+    return {k: v.astype(np.float32) for k, v in F.items()}
 
 
+# ---------------------------------------------------------------------------
+# Window decision (psy attack detection; aacpsy.c window switching)
+# ---------------------------------------------------------------------------
+def decide_window_sequences(pcm: np.ndarray, nframes: int,
+                            attack_ratio: float = 10.0):
+    """pcm float [n, ch] (without lead-in) -> (ws [nframes+1],
+    attack_pos [nframes+1]).  Frame t transforms padded samples
+    [t*1024, t*1024+2048) where padded has a 1024-sample lead-in."""
+    mono = pcm.mean(axis=1) if pcm.ndim == 2 else pcm
+    hp = np.diff(mono, prepend=mono[:1])          # crude high-pass
+    nblk = (len(hp) + 127) // 128
+    e = np.zeros(nblk + 16)
+    padded_hp = np.pad(hp, (0, nblk * 128 - len(hp)))
+    e[:nblk] = (padded_hp.reshape(-1, 128) ** 2).sum(axis=1)
+    # running mean of the previous 8 sub-blocks
+    csum = np.concatenate([[0.0], np.cumsum(e)])
+    prev_mean = np.array([
+        (csum[i] - csum[max(i - 8, 0)]) / max(min(i, 8), 1)
+        for i in range(len(e))])
+    attack = e > attack_ratio * np.maximum(prev_mean, 1e-3 * e.max() + 1e-9)
+
+    n = nframes + 1
+    short = np.zeros(n, bool)
+    pos = np.zeros(n, np.int64)
+    for t in range(n):
+        # frame t covers padded [t*1024, t*1024+2048) = pcm [(t-1)*1024, ...)
+        # its 8 short transforms live in the middle region
+        lo_blk = (t - 1) * 8 + 3       # padded offset 448 onward, 128 grid
+        hits = [b for b in range(max(lo_blk, 0), min(lo_blk + 9, len(e)))
+                if attack[b]]
+        if hits:
+            short[t] = True
+            pos[t] = int(np.clip(hits[0] - lo_blk, 0, 7))
+    ws = np.zeros(n, np.int64)
+    prev = ONLY_LONG
+    for t in range(n):
+        nxt = short[t + 1] if t + 1 < n else False
+        if short[t]:
+            cur = EIGHT_SHORT
+        elif prev == EIGHT_SHORT:
+            cur = EIGHT_SHORT if nxt else LONG_STOP
+        elif nxt:
+            cur = LONG_START
+        else:
+            cur = ONLY_LONG
+        ws[t] = cur
+        prev = cur
+    return ws, pos
+
+
+def _group_layout(attack_pos: int) -> list[int]:
+    """Window grouping around the attack sub-block (aacenc.c grouping)."""
+    a = int(np.clip(attack_pos, 0, 7))
+    groups = [g for g in (a, 1, 7 - a) if g > 0]
+    return groups if groups else [8]
+
+
+# ---------------------------------------------------------------------------
+# Psychoacoustic thresholds (3GPP-style; aacpsy.c)
+# ---------------------------------------------------------------------------
+def _bark(f_hz: np.ndarray) -> np.ndarray:
+    return 13.3 * np.arctan(0.00076 * f_hz) \
+        + 3.5 * np.arctan((f_hz / 7500.0) ** 2)
+
+
+def _psy_thresholds(band_en: np.ndarray, centers_hz: np.ndarray,
+                    widths: np.ndarray,
+                    tonality: np.ndarray | None = None) -> np.ndarray:
+    """Band energies -> masking thresholds (same units).
+
+    Two-sided bark-domain spreading (30 dB/bark toward lower bands,
+    15 dB/bark toward higher), tonality-dependent masker SNR (6 dB for
+    noise-like bands up to 24 dB for tonal, the 3GPP TMN/NMT idea),
+    floored at an absolute threshold scaled to the int16 PCM convention."""
+    nb = len(band_en)
+    bv = _bark(centers_hz)
+    spread = band_en.astype(np.float64).copy()
+    for b in range(1, nb):          # masking spreading upward in frequency
+        db = bv[b] - bv[b - 1]
+        spread[b] = max(spread[b], spread[b - 1] * 10 ** (-1.5 * db))
+    for b in range(nb - 2, -1, -1):  # downward
+        db = bv[b + 1] - bv[b]
+        spread[b] = max(spread[b], spread[b + 1] * 10 ** (-3.0 * db))
+    snr_db = 18.0 if tonality is None else 6.0 + 18.0 * tonality
+    thr = spread * 10.0 ** (-snr_db / 10.0)
+    # absolute threshold: ~ -84 dBFS per coefficient on the +-32768 scale
+    ath = (32768.0 * 10 ** (-84.0 / 20.0)) ** 2 * widths
+    return np.maximum(thr, ath)
+
+
+def _band_tonality(bands: list[np.ndarray]) -> np.ndarray:
+    """Per-band tonality in [0,1] via spectral flatness (geometric vs
+    arithmetic mean of coefficient power): 1 = a pure tone dominates the
+    band, 0 = white-noise-like.  Stand-in for aacpsy.c's predictability
+    measure."""
+    out = np.zeros(len(bands))
+    for i, c in enumerate(bands):
+        p = c.astype(np.float64) ** 2
+        am = p.mean() + 1e-12
+        gm = np.exp(np.log(p + 1e-12).mean())
+        out[i] = np.clip(1.0 - gm / am, 0.0, 1.0) ** 2
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Quantization / codebook / bit-cost primitives (aaccoder.c analogues)
+# ---------------------------------------------------------------------------
 @functools.cache
 def _enc_vlc(cb: int):
     codes, bits = T.spectral_codes(cb)
@@ -54,44 +201,130 @@ def _sf_vlc_enc():
     return codes.astype(np.int64), bits.astype(np.int64)
 
 
-def _quantize(c: np.ndarray, sf_idx: int) -> np.ndarray:
-    """AAC quantizer: q = sign * floor(|c * 2^(-(sf-140)/4)|^(3/4) + 0.4054);
-    the decoder reconstructs coef = -sign(q)*|q|^(4/3)*2^((sf-140)/4)
-    (aacdec.c:816 with the no-bias sf_offset), so the encoder flips sign."""
-    step = 2.0 ** (-(sf_idx - 140) / 4.0)
+def _quantize(c: np.ndarray, sf_idx: int, sf_bias: int = 140) -> np.ndarray:
+    """AAC quantizer: q = sign * floor(|c * 2^(-(sf-bias)/4)|^(3/4)+0.4054);
+    the decoder reconstructs coef = -sign(q)*|q|^(4/3)*2^((sf-bias)/4)
+    (aacdec.c:816 with the no-bias sf_offset; bias 128 for EIGHT_SHORT via
+    the +12 offset at aac_syntax.decode_scalefactors), so the encoder
+    flips sign."""
+    step = 2.0 ** (-(sf_idx - sf_bias) / 4.0)
     mag = np.floor(np.abs(c * step) ** 0.75 + 0.4054)
     mag = np.minimum(mag, MAX_QUANT)
     return (-np.sign(c) * mag).astype(np.int64)
 
 
-def _band_sf(c: np.ndarray, qstep: int) -> int:
-    """Choose the band scalefactor so max|q| <= qstep."""
+def _dequantize(q: np.ndarray, sf_idx: int, sf_bias: int = 140) -> np.ndarray:
+    step = np.float32(2.0 ** ((sf_idx - sf_bias) / 4.0))
+    return (-np.sign(q) * np.abs(q).astype(np.float32) ** (4.0 / 3.0)
+            * step).astype(np.float32)
+
+
+def _band_sf_limit(c: np.ndarray, sf_bias: int) -> int:
+    """Smallest sf (coarsest valid quantization) with max|q| <= MAX_QUANT."""
     peak = np.abs(c).max()
     if peak == 0:
         return 0
-    # |q| ~ (peak * 2^(-(sf-140)/4))^(3/4) <= qstep
-    sf = 140 - 4 * (np.log2(max(peak, 1e-9)) - (4.0 / 3.0) * np.log2(qstep))
-    sf = int(np.ceil(sf))
-    while np.abs(_quantize(c, sf)).max() > qstep and sf < 255:
+    # max|q| = (peak / 2^((sf-bias)/4))^(3/4) <= MAX_QUANT; _quantize clamps
+    # at MAX_QUANT, so test the raw magnitude to avoid silent peak clipping
+    sf = sf_bias + 4 * (np.log2(max(peak, 1e-9))
+                        - (4.0 / 3.0) * np.log2(MAX_QUANT))
+    sf = int(np.ceil(sf)) - 1
+    while sf < 255:
+        raw = np.floor((peak * 2.0 ** (-(sf - sf_bias) / 4.0)) ** 0.75
+                       + 0.4054)
+        if raw <= MAX_QUANT:
+            break
         sf += 1
     return int(np.clip(sf, 0, 255))
 
 
+def _band_sf_for_noise(c: np.ndarray, allowed: float, sf_bias: int) -> int:
+    """Choose sf so band quantization noise <= allowed (measured search,
+    the inner loop of aaccoder.c's scalefactor search)."""
+    en = float((c.astype(np.float64) ** 2).sum())
+    peak = float(np.abs(c).max())
+    if peak == 0.0 or en <= allowed:
+        # the all-zero band already meets the threshold: any sf coarse
+        # enough to zero the band works (band_type becomes ZERO_BT)
+        return int(np.clip(np.ceil(sf_bias + 4 * np.log2(peak + 1e-12)) + 4,
+                           0, 255))
+    lo = _band_sf_limit(c, sf_bias)
+    hi = int(np.clip(np.ceil(sf_bias + 4 * np.log2(peak)) + 4, lo, 255))
+
+    def noise(s):
+        q = _quantize(c, s, sf_bias)
+        return float(((c - _dequantize(q, s, sf_bias)) ** 2).sum())
+
+    if noise(lo) > allowed:
+        return lo
+    # bisect for the coarsest sf still under the noise budget (noise is
+    # monotone in sf to within quantizer granularity)
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if noise(mid) <= allowed:
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
+_CB_CANDIDATES = {  # amax threshold -> admissible codebooks (unsigned pairs
+    # use sign bits; aactab.c codebook parameters)
+    1: (1, 2),
+    2: (3, 4),
+    4: (5, 6),
+    7: (7, 8),
+    12: (9, 10),
+    16: (11,),
+}
+
+
+def _band_bits(q: np.ndarray, cb: int) -> int:
+    """Exact spectral bit count for band q under codebook cb."""
+    if cb == 0:
+        return 0
+    codes, bits = _enc_vlc(cb)
+    dim, lav, signed = T.CODEBOOK_INFO[cb]
+    mod = 2 * lav + 1 if signed else lav + 1
+    off = lav if signed else 0
+    total = 0
+    for k in range(0, len(q), dim):
+        tup = q[k:k + dim]
+        idx = 0
+        for v in tup:
+            av = int(v)
+            if not signed:
+                av = min(abs(av), 16 if cb == 11 else lav)
+                idx = idx * mod + av
+            else:
+                idx = idx * mod + (av + off)
+        total += int(bits[idx])
+        if not signed:
+            for v in tup:
+                if v:
+                    total += 1
+                if cb == 11 and abs(int(v)) >= 16:
+                    total += 2 * (abs(int(v)).bit_length() - 1) - 3
+    return total
+
+
 def _codebook_for(q: np.ndarray) -> int:
+    """Cheapest admissible codebook by exact bit count (aaccoder.c
+    codebook_trellis step, greedy per band)."""
     amax = int(np.abs(q).max()) if len(q) else 0
     if amax == 0:
         return 0
-    if amax <= 1:
-        return 2
-    if amax <= 2:
-        return 4
-    if amax <= 4:
-        return 6
-    if amax <= 7:
-        return 8
-    if amax <= 12:
-        return 10
-    return 11
+    cands: list[int] = []
+    for t, cbs in _CB_CANDIDATES.items():
+        if amax <= t:
+            cands.extend(cbs)
+            if len(cands) >= 4:
+                break
+    if 11 not in cands:
+        cands.append(11)
+    # signed two-value books need even lengths (they do: bands are multiples
+    # of 4); pick min cost
+    return min(cands, key=lambda cb: _band_bits(q, cb))
 
 
 def _write_band(bw: BitWriter, q: np.ndarray, cb: int) -> None:
@@ -130,10 +363,15 @@ class AacEncoder:
 
     object_type 2 = LC (default); 1 = Main with frequency-domain
     prediction (the encoder mirrors the decoder's predictor state,
-    aacdec.c:1271-1322, and codes residuals)."""
+    aacdec.c:1271-1322, and codes residuals).
+
+    With ``bitrate`` set, the psy model + rate control drive per-band
+    scalefactors toward masking thresholds at the target rate; otherwise
+    ``qstep`` fixes a uniform quantization quality."""
 
     def __init__(self, sample_rate: int, channels: int, qstep: int = 28,
-                 object_type: int = 2):
+                 object_type: int = 2, bitrate: int | None = None,
+                 window_switching: bool = True):
         if channels not in (1, 2):
             raise ValueError("mono or stereo only")
         if object_type not in (1, 2):
@@ -147,8 +385,13 @@ class AacEncoder:
         self.channels = channels
         self.qstep = qstep
         self.object_type = object_type
-        self.swb_offset = T.swb_offset_1024(self.sampling_index)
-        self.num_swb = T.num_swb_1024(self.sampling_index)
+        self.bitrate = bitrate
+        self.window_switching = window_switching
+        self.swb_long = T.swb_offset_1024(self.sampling_index)
+        self.nswb_long = T.num_swb_1024(self.sampling_index)
+        self.swb_short = T.swb_offset_128(self.sampling_index)
+        self.nswb_short = T.num_swb_128(self.sampling_index)
+        self.lam = 1.0                      # rate-control quality state
         if object_type == 1:
             from ..bitstream import aac_syntax as syn
             self._syn = syn
@@ -163,14 +406,17 @@ class AacEncoder:
         """pv per bin from the mirrored decoder state (aacdec.c:1280-1283)."""
         syn = self._syn
         st = self._pred_state[ch]
-        kmax = int(self.swb_offset[min(self._pred_max, self.num_swb)])
+        kmax = int(self.swb_long[min(self._pred_max, self.nswb_long)])
         cor0, cor1 = st[:kmax, 0], st[:kmax, 1]
         var0, var1 = st[:kmax, 2], st[:kmax, 3]
         r0, r1 = st[:kmax, 4], st[:kmax, 5]
         a = np.float32(0.953125)
-        k1 = np.where(var0 > 1, cor0 * syn._flt16_even(a / var0), 0).astype(np.float32)
-        k2 = np.where(var1 > 1, cor1 * syn._flt16_even(a / var1), 0).astype(np.float32)
-        return syn._flt16_round((k1 * r0 + k2 * r1).astype(np.float32)), k1, kmax
+        k1 = np.where(var0 > 1, cor0 * syn._flt16_even(a / var0),
+                      0).astype(np.float32)
+        k2 = np.where(var1 > 1, cor1 * syn._flt16_even(a / var1),
+                      0).astype(np.float32)
+        return syn._flt16_round((k1 * r0 + k2 * r1).astype(np.float32)), \
+            k1, kmax
 
     def _predict_update(self, ch: int, dec_coef: np.ndarray, k1, kmax,
                         reset_group: int):
@@ -182,10 +428,16 @@ class AacEncoder:
         r0, r1 = st[:kmax, 4].copy(), st[:kmax, 5].copy()
         e0 = (dec_coef[:kmax] / self._sf_scale).astype(np.float32)
         e1 = (e0 - k1 * r0).astype(np.float32)
-        st[:kmax, 1] = syn._flt16_trunc((alpha * st[:kmax, 1] + r1 * e1).astype(np.float32))
-        st[:kmax, 3] = syn._flt16_trunc((alpha * st[:kmax, 3] + np.float32(0.5) * (r1 * r1 + e1 * e1)).astype(np.float32))
-        st[:kmax, 0] = syn._flt16_trunc((alpha * st[:kmax, 0] + r0 * e0).astype(np.float32))
-        st[:kmax, 2] = syn._flt16_trunc((alpha * st[:kmax, 2] + np.float32(0.5) * (r0 * r0 + e0 * e0)).astype(np.float32))
+        st[:kmax, 1] = syn._flt16_trunc(
+            (alpha * st[:kmax, 1] + r1 * e1).astype(np.float32))
+        st[:kmax, 3] = syn._flt16_trunc(
+            (alpha * st[:kmax, 3]
+             + np.float32(0.5) * (r1 * r1 + e1 * e1)).astype(np.float32))
+        st[:kmax, 0] = syn._flt16_trunc(
+            (alpha * st[:kmax, 0] + r0 * e0).astype(np.float32))
+        st[:kmax, 2] = syn._flt16_trunc(
+            (alpha * st[:kmax, 2]
+             + np.float32(0.5) * (r0 * r0 + e0 * e0)).astype(np.float32))
         st[:kmax, 5] = syn._flt16_trunc((a * (r0 - k1 * e0)).astype(np.float32))
         st[:kmax, 4] = syn._flt16_trunc((a * e0).astype(np.float32))
         if reset_group:
@@ -194,32 +446,92 @@ class AacEncoder:
             st[idxs, 2] = 1.0
             st[idxs, 3] = 1.0
 
-    # ---------------- per-channel ICS -----------------------------------
-    def _encode_ics(self, bw: BitWriter, coefs: np.ndarray,
-                    ch: int = 0) -> None:
-        offs = self.swb_offset
-        nb = self.num_swb
-        predicting = self.object_type == 1
-        if predicting:
+    # ---------------- analyze / code / emit (per-channel ICS) ------------
+    # The rate loop re-runs only the lambda-dependent coding step; the
+    # filterbank, psy analysis, and prediction residual are computed once
+    # per frame (analyze), and bits hit the BitWriter once (emit).
+    def _analyze_ics(self, coefs: np.ndarray, ch: int, ws: int,
+                     group_len: list[int]) -> dict:
+        is8 = ws == EIGHT_SHORT
+        offs = self.swb_short if is8 else self.swb_long
+        nb = self.nswb_short if is8 else self.nswb_long
+        ngroups = len(group_len) if is8 else 1
+        if not is8:
+            group_len = [1]
+        an = dict(ch=ch, ws=ws, is8=is8, offs=offs, nb=nb, ngroups=ngroups,
+                  group_len=group_len, sf_bias=128 if is8 else 140,
+                  predicting=False)
+
+        if self.object_type == 1 and not is8:
             pv, k1_arr, kmax = self._predict_values(ch)
-            reset_group = (self._frame_no % 30) + 1
-            nmax = min(nb, self._pred_max)
-            pred_used = np.ones(nmax, np.int64)
+            an.update(predicting=True, pv=pv, k1_arr=k1_arr, kmax=kmax,
+                      reset_group=(self._frame_no % 30) + 1,
+                      nmax=min(nb, self._pred_max),
+                      pred_used=np.ones(min(nb, self._pred_max), np.int64))
             residual = coefs.copy()
             residual[:kmax] = (residual[:kmax]
                                - pv * self._sf_scale).astype(np.float32)
             coefs = residual
-        sfs = np.zeros(nb, np.int64)
-        qs = []
-        cbs = np.zeros(nb, np.int64)
-        for b in range(nb):
-            band = coefs[offs[b]:offs[b + 1]]
-            sf = _band_sf(band, self.qstep)
-            q = _quantize(band, sf)
-            cb = _codebook_for(q)
-            sfs[b] = sf if cb else 0
-            cbs[b] = cb
-            qs.append(q)
+
+        # gather band slices per (group, sfb): concatenated window slices
+        bands: list[np.ndarray] = []
+        centers, widths = [], []
+        hz_per_bin = self.sample_rate / (256.0 if is8 else 2048.0)
+        w0 = 0
+        for g in range(ngroups):
+            for b in range(nb):
+                off, off_len = int(offs[b]), int(offs[b + 1] - offs[b])
+                parts = [coefs[(w0 + w) * 128 + off:
+                               (w0 + w) * 128 + off + off_len]
+                         for w in range(group_len[g])] if is8 \
+                    else [coefs[off:off + off_len]]
+                bands.append(np.concatenate(parts))
+                centers.append((off + off_len / 2.0) * hz_per_bin)
+                widths.append(len(bands[-1]))
+            w0 += group_len[g]
+        an["bands"] = bands
+        if self.bitrate is not None:
+            en = np.array([float((c.astype(np.float64) ** 2).sum())
+                           for c in bands])
+            cen = np.array(centers)
+            wid = np.array(widths, np.float64)
+            ton = _band_tonality(bands)
+            # spreading is along frequency: apply per window group (the
+            # concatenated band list restarts at DC every group)
+            an["thr0"] = np.concatenate([
+                _psy_thresholds(en[g * nb:(g + 1) * nb],
+                                cen[g * nb:(g + 1) * nb],
+                                wid[g * nb:(g + 1) * nb],
+                                ton[g * nb:(g + 1) * nb])
+                for g in range(ngroups)])
+        return an
+
+    def _code_ics(self, an: dict) -> dict:
+        """lambda-dependent quantization + exact ICS bit count."""
+        bands, sf_bias = an["bands"], an["sf_bias"]
+        if self.bitrate is None:
+            sfs = []
+            for c in bands:
+                peak = np.abs(c).max()
+                if peak == 0:
+                    sfs.append(0)
+                    continue
+                sf = sf_bias + 4 * (np.log2(max(peak, 1e-9))
+                                    - (4.0 / 3.0) * np.log2(self.qstep))
+                sf = int(np.ceil(sf))
+                while np.abs(_quantize(c, sf, sf_bias)).max() > self.qstep \
+                        and sf < 255:
+                    sf += 1
+                sfs.append(int(np.clip(sf, 0, 255)))
+            sfs = np.array(sfs, np.int64)
+        else:
+            thr = an["thr0"] * self.lam
+            sfs = np.array([_band_sf_for_noise(c, float(a), sf_bias)
+                            for c, a in zip(bands, thr)], np.int64)
+        qs = [_quantize(c, int(s), sf_bias) for c, s in zip(bands, sfs)]
+        cbs = np.array([_codebook_for(q) for q in qs], np.int64)
+        sfs = np.where(cbs == 0, 0, sfs)
+
         # clamp scalefactor deltas to +-60 (spec SCALE_MAX_DIFF)
         coded = np.nonzero(cbs)[0]
         for j in range(1, len(coded)):
@@ -227,91 +539,137 @@ class AacEncoder:
             lo, hi = sfs[a] - 60, sfs[a] + 60
             if not lo <= sfs[b] <= hi:
                 sfs[b] = int(np.clip(sfs[b], lo, hi))
-                qs[b] = _quantize(coefs[offs[b]:offs[b + 1]], int(sfs[b]))
-                qs[b] = np.clip(qs[b], -MAX_QUANT, MAX_QUANT)
+                qs[b] = np.clip(_quantize(bands[b], int(sfs[b]), sf_bias),
+                                -MAX_QUANT, MAX_QUANT)
                 cbs[b] = _codebook_for(qs[b])
-
         global_gain = int(sfs[coded[0]]) if len(coded) else 100
-        bw.put(8, global_gain)
-        # ics_info: long window, sine shape
+
+        # exact ICS bit count (mirror of _emit_ics)
+        nb, ngroups, is8 = an["nb"], an["ngroups"], an["is8"]
+        bits = 8 + 1 + 2 + 1                      # gg + ics_info head
+        bits += (4 + 7) if is8 else 6
+        if not is8:
+            bits += 1
+            if an["predicting"]:
+                bits += 1 + 5 + an["nmax"]
+        rbits = 3 if is8 else 5
+        resc = (1 << rbits) - 1
+        for g in range(ngroups):
+            b = 0
+            while b < nb:
+                run = 1
+                while b + run < nb and cbs[g * nb + b + run] == cbs[g * nb + b]:
+                    run += 1
+                bits += 4 + rbits * (run // resc + 1)
+                b += run
+        _, sf_bits = _sf_vlc_enc()
+        prev = global_gain
+        for i in range(ngroups * nb):
+            if cbs[i]:
+                bits += int(sf_bits[int(sfs[i]) - prev + 60])
+                prev = int(sfs[i])
+        bits += 3                                  # pulse/tns/gain flags
+        for i in range(ngroups * nb):
+            if cbs[i]:
+                bits += _band_bits(qs[i], int(cbs[i]))
+        return dict(sfs=sfs, qs=qs, cbs=cbs, global_gain=global_gain,
+                    bits=bits)
+
+    def _emit_ics(self, bw: BitWriter, an: dict, co: dict,
+                  update_state: bool) -> None:
+        nb, ngroups, is8 = an["nb"], an["ngroups"], an["is8"]
+        sfs, qs, cbs = co["sfs"], co["qs"], co["cbs"]
+        if self.object_type == 1 and is8 and update_state:
+            # decoder resets all predictors on short frames
+            # (aac_syntax.apply_prediction EIGHT_SHORT branch)
+            self._pred_state[an["ch"]] = self._syn.new_predictor_state()
+        bw.put(8, co["global_gain"])
         bw.put1(0)          # reserved
-        bw.put(2, 0)        # ONLY_LONG_SEQUENCE
-        bw.put1(0)          # use_kb_window
-        bw.put(6, nb)       # max_sfb
-        if predicting:
-            bw.put1(1)      # predictor_data_present
-            bw.put1(1)      # predictor_reset
-            bw.put(5, reset_group)
-            for sfb in range(nmax):
-                bw.put1(int(pred_used[sfb]))
+        bw.put(2, an["ws"])
+        bw.put1(0)          # use_kb_window = sine
+        if is8:
+            bw.put(4, nb)   # max_sfb
+            # scale_factor_grouping: 7 bits, bit w=1 iff window w shares
+            # its group with window w-1 (aac_syntax.decode_ics_info)
+            for g in range(ngroups):
+                if g:
+                    bw.put1(0)
+                for _ in range(an["group_len"][g] - 1):
+                    bw.put1(1)
         else:
-            bw.put1(0)      # predictor_data_present
-        # section_data (5-bit runs, esc=31)
-        b = 0
-        while b < nb:
-            cb = cbs[b]
-            run = 1
-            while b + run < nb and cbs[b + run] == cb:
-                run += 1
-            bw.put(4, int(cb))
-            r = run
-            while r >= 31:
-                bw.put(5, 31)
-                r -= 31
-            bw.put(5, r)
-            b += run
+            bw.put(6, nb)
+            if an["predicting"]:
+                bw.put1(1)      # predictor_data_present
+                bw.put1(1)      # predictor_reset
+                bw.put(5, an["reset_group"])
+                for sfb in range(an["nmax"]):
+                    bw.put1(int(an["pred_used"][sfb]))
+            else:
+                bw.put1(0)
+        # section_data (per group; 3-bit runs short, 5-bit long)
+        rbits = 3 if is8 else 5
+        resc = (1 << rbits) - 1
+        for g in range(ngroups):
+            b = 0
+            while b < nb:
+                cb = cbs[g * nb + b]
+                run = 1
+                while b + run < nb and cbs[g * nb + b + run] == cb:
+                    run += 1
+                bw.put(4, int(cb))
+                r = run
+                while r >= resc:
+                    bw.put(rbits, resc)
+                    r -= resc
+                bw.put(rbits, r)
+                b += run
         # scalefactor data (delta huffman)
         sf_codes, sf_bits = _sf_vlc_enc()
-        prev = global_gain
-        for b in range(nb):
-            if cbs[b] == 0:
+        prev = co["global_gain"]
+        for i in range(ngroups * nb):
+            if cbs[i] == 0:
                 continue
-            d = int(sfs[b]) - prev + 60
+            d = int(sfs[i]) - prev + 60
             bw.put(int(sf_bits[d]), int(sf_codes[d]))
-            prev = int(sfs[b])
+            prev = int(sfs[i])
         bw.put1(0)  # pulse_data_present
         bw.put1(0)  # tns_data_present
         bw.put1(0)  # gain_control_data_present
-        # spectral data
-        for b in range(nb):
-            if cbs[b]:
-                _write_band(bw, qs[b], int(cbs[b]))
-        if predicting:
+        for i in range(ngroups * nb):
+            if cbs[i]:
+                _write_band(bw, qs[i], int(cbs[i]))
+        if an["predicting"] and update_state:
             # mirror the decoder: decoded residual + enabled prediction
+            offs, kmax = an["offs"], an["kmax"]
             dec = np.zeros(1024, np.float32)
             for b in range(nb):
-                band_q = qs[b]
-                step = np.float32(2.0 ** ((int(sfs[b]) - 140) / 4.0))
-                vq = (-np.sign(band_q)
-                      * np.abs(band_q).astype(np.float32) ** (4.0 / 3.0))
-                dec[offs[b]:offs[b + 1]] = (vq * step).astype(np.float32)
+                dec[int(offs[b]):int(offs[b + 1])] = _dequantize(
+                    qs[b], int(sfs[b]), an["sf_bias"])
             enable = np.zeros(kmax, bool)
-            for sfb in range(nmax):
-                if pred_used[sfb]:
+            for sfb in range(an["nmax"]):
+                if an["pred_used"][sfb]:
                     enable[int(offs[sfb]):int(offs[sfb + 1])] = True
             dec[:kmax] = np.where(
-                enable, (dec[:kmax] + pv * self._sf_scale).astype(np.float32),
+                enable,
+                (dec[:kmax] + an["pv"] * self._sf_scale).astype(np.float32),
                 dec[:kmax])
-            self._predict_update(ch, dec, k1_arr, kmax, reset_group)
+            self._predict_update(an["ch"], dec, an["k1_arr"], kmax,
+                                 an["reset_group"])
 
-    def _encode_frame(self, block: np.ndarray) -> bytes:
-        """block: float [2048, ch] -> one raw_data_block."""
-        F = _analysis_matrix()
+    def _emit_frame(self, analyses: list[dict], codeds: list[dict]) -> bytes:
         bw = BitWriter()
         if self.channels == 1:
             bw.put(3, T.TYPE_SCE)
             bw.put(4, 0)
-            self._encode_ics(bw, block[:, 0] @ F, 0)
+            self._emit_ics(bw, analyses[0], codeds[0], True)
         else:
             bw.put(3, T.TYPE_CPE)
             bw.put(4, 0)
             bw.put1(0)  # common_window = 0 (independent ICS info)
-            self._encode_ics(bw, block[:, 0] @ F, 0)
-            self._encode_ics(bw, block[:, 1] @ F, 1)
+            self._emit_ics(bw, analyses[0], codeds[0], True)
+            self._emit_ics(bw, analyses[1], codeds[1], True)
         bw.put(3, T.TYPE_END)
         bw.align()
-        if self.object_type == 1:
-            self._frame_no += 1
         return bw.bytes()
 
     def encode(self, pcm: np.ndarray) -> bytes:
@@ -323,11 +681,57 @@ class AacEncoder:
         nframes = (n + 1023) // 1024
         padded = np.zeros((nframes * 1024 + 1024, pcm.shape[1]), np.float32)
         padded[1024:1024 + n] = pcm.astype(np.float32)  # 1-frame lead-in
+        if self.window_switching:
+            ws_seq, attack_pos = decide_window_sequences(
+                pcm.astype(np.float32), nframes)
+        else:
+            ws_seq = np.zeros(nframes + 1, np.int64)
+            attack_pos = np.zeros(nframes + 1, np.int64)
+        target = (self.bitrate * 1024.0 / self.sample_rate
+                  if self.bitrate else None)
+        hdr_bits = 7 + 3 if self.channels == 1 else 8 + 3  # elems + END
         frames = []
         for t in range(nframes + 1):
             block = padded[t * 1024:(t + 2) * 1024]
             if block.shape[0] < 2048:
                 block = np.pad(block, ((0, 2048 - block.shape[0]), (0, 0)))
-            frames.append(self._encode_frame(block))
+            ws = int(ws_seq[t])
+            groups = _group_layout(int(attack_pos[t]))
+            F = _forward_matrices()[ws]
+            analyses = [self._analyze_ics(block[:, c] @ F, c, ws, groups)
+                        for c in range(self.channels)]
+            if target is None:
+                codeds = [self._code_ics(an) for an in analyses]
+            else:
+                # in-frame rate loop: bracket + bisect log-lambda for the
+                # most bits <= ~target (aacenc.c bit-reservoir analogue);
+                # analysis is lambda-independent so only quantization
+                # re-runs per iteration
+                over = under = None   # lam values giving too many/too few
+                best = None           # (bits, codeds) best under 1.02*target
+                iters = 12 if t < 3 else 6
+                for _ in range(iters):
+                    codeds = [self._code_ics(an) for an in analyses]
+                    bits = hdr_bits + sum(c["bits"] for c in codeds)
+                    ratio = bits / max(target, 1.0)
+                    if ratio <= 1.02 and (best is None or bits > best[0]):
+                        best = (bits, codeds, self.lam)
+                    if 0.8 <= ratio <= 1.02:
+                        break
+                    if ratio > 1.02:
+                        over = self.lam
+                    else:
+                        under = self.lam
+                    if over is not None and under is not None:
+                        self.lam = float(np.sqrt(over * under))
+                    else:
+                        self.lam = float(np.clip(
+                            self.lam * np.clip(ratio ** 1.2, 0.1, 8.0),
+                            1e-5, 1e7))
+                if best is not None:
+                    codeds, self.lam = best[1], best[2]
+            frames.append(self._emit_frame(analyses, codeds))
+            if self.object_type == 1:
+                self._frame_no += 1
         return mux_adts(frames, self.object_type, self.sample_rate,
                         1 if self.channels == 1 else 2)

@@ -752,14 +752,14 @@ def splice_cce_into_lc(lc_adts: bytes, coupling_point: str = "before",
     """Rebuild a mono LC ADTS stream as PCE-configured (chan_config=0) with
     a coupling channel element appended each frame (gain list c=0 only, so
     no gain bits; aacdec.c:1533-1544)."""
-    from ..codec.encoder import AacEncoder, _analysis_matrix
+    from ..codec.encoder import ONLY_LONG, AacEncoder, _forward_matrices
 
     frames = split_adts_stream(lc_adts)
     hdr0 = parse_adts_header(BitReader(frames[0]))
     dec = Decoder(adts_probe=frames[0][:7])
     enc = AacEncoder(hdr0.sample_rate, 1, qstep=20)
     rng = np.random.default_rng(seed)
-    F = _analysis_matrix()
+    F = _forward_matrices()[ONLY_LONG]
     sr = hdr0.sample_rate
     t = np.arange(len(frames) * 1024 + 1024) / sr
     cce_sig = (6000 * np.sin(2 * np.pi * 700 * t)).astype(np.float32)
@@ -789,7 +789,8 @@ def splice_cce_into_lc(lc_adts: bytes, coupling_point: str = "before",
         block = cce_sig[fi * 1024:(fi + 1) * 1024 + 1024]
         if len(block) < 2048:
             block = np.pad(block, (0, 2048 - len(block)))
-        enc._encode_ics(bw, block @ F)
+        an = enc._analyze_ics(block @ F, 0, ONLY_LONG, [8])
+        enc._emit_ics(bw, an, enc._code_ics(an), True)
         bw.put(3, T.TYPE_END)
         bw.align()
         body = bw.bytes()

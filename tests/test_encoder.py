@@ -42,6 +42,77 @@ def test_encode_roundtrip(sr, ch, ref_harness, tmp_path):
     assert snr > 25, f"SNR {snr:.1f} dB"
 
 
+def _transient(sr, ch, seconds=2.0):
+    t = np.arange(int(sr * seconds)) / sr
+    chans = [0.5 * np.sin(2 * np.pi * (440 + 110 * c) * t)
+             for c in range(ch)]
+    x = np.stack(chans, -1)
+    for p in range(sr // 3, len(x), sr // 2):
+        x[p:p + 96] += np.hanning(96)[:, None] * 0.8
+    return np.clip(x * 16000, -32768, 32767).astype(np.int16)
+
+
+@pytest.mark.golden
+def test_encode_window_switching(ref_harness, tmp_path):
+    """Transient content must produce EIGHT_SHORT frames (with legal
+    LONG_START/LONG_STOP transitions) that both decoders agree on."""
+    from heaac_tpu.bitstream.adts import split_adts_stream
+    from heaac_tpu.codec.decoder import Decoder
+
+    sr = 48000
+    pcm = _transient(sr, 1)
+    adts = AacEncoder(sr, 1).encode(pcm)
+    # window sequence legality + actual short frames present
+    dec = Decoder(adts_probe=adts[:7], use_native=False)
+    seqs = []
+    for f in split_adts_stream(adts):
+        dec.decode_frame(f)
+        seqs.append(list(dec.elements.values())[0].cur[0].ics.window_sequence)
+    assert 2 in seqs, "no EIGHT_SHORT frames on transient content"
+    legal = {(0, 0), (0, 1), (1, 2), (2, 2), (2, 3), (3, 0), (3, 1), (3, 3)}
+    for a, b in zip(seqs, seqs[1:]):
+        assert (a, b) in legal, f"illegal window transition {a}->{b}"
+    p = tmp_path / "w.aac"
+    p.write_bytes(adts)
+    g = tmp_path / "w.gold"
+    subprocess.run([ref_harness["decode"], str(p), str(g)], check=True,
+                   capture_output=True)
+    gold = np.fromfile(g, np.int16)
+    ours, rate = decode_adts(adts)
+    n = min(len(ours), len(gold))
+    assert np.abs(ours[:n, 0].astype(int) - gold[:n].astype(int)).max() <= 2
+
+
+@pytest.mark.golden
+@pytest.mark.parametrize("bitrate", [48000, 96000])
+def test_encode_rate_control(bitrate, ref_harness, tmp_path):
+    """Psy model + bit reservoir: the stream must land near the target
+    bitrate, decode on the reference, and hold reasonable quality."""
+    sr = 44100
+    pcm = _tone(sr, 1, seconds=2.0)
+    adts = AacEncoder(sr, 1, bitrate=bitrate).encode(pcm)
+    kbps = len(adts) * 8 / (len(pcm) / sr)
+    assert 0.6 * bitrate <= kbps <= 1.35 * bitrate, f"rate {kbps/1000:.0f}k"
+    p = tmp_path / "r.aac"
+    p.write_bytes(adts)
+    g = tmp_path / "r.gold"
+    subprocess.run([ref_harness["decode"], str(p), str(g)], check=True,
+                   capture_output=True)
+    gold = np.fromfile(g, np.int16)
+    ours, rate = decode_adts(adts)
+    n = min(len(ours), len(gold))
+    assert np.abs(ours[:n, 0].astype(int) - gold[:n].astype(int)).max() <= 2
+    # quality: median 2048-sample segment SNR (robust to the onset frame)
+    m = min(len(pcm), len(gold) - 1024)
+    e = gold[1024:1024 + m].astype(np.float64) - pcm[:m, 0]
+    segs = []
+    for k in range(0, m - 2048, 2048):
+        psig = (pcm[k:k + 2048, 0].astype(np.float64) ** 2).mean()
+        pn = (e[k:k + 2048] ** 2).mean()
+        segs.append(10 * np.log10(max(psig, 1e-9) / max(pn, 1e-9)))
+    assert np.median(segs) > 30, f"median seg SNR {np.median(segs):.1f} dB"
+
+
 @pytest.mark.golden
 def test_encode_aac_main_prediction(ref_harness, tmp_path):
     """AAC-Main: encoder mirrors the decoder's frequency-domain predictor
