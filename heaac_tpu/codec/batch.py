@@ -18,6 +18,30 @@ from .decoder import Decoder
 from .heaac_graph import HeaacState, init_state, jitted_heaac_frame
 
 
+
+def _host_couple_and_tns(dec) -> None:
+    """Dependent channel coupling + TNS in reference order (host side),
+    shared by the planning decoders (aacdec.c:1870-1898 stages 0/1).
+
+    AFTER_IMDCT (point 3) coupling mixes decoded time signals, which the
+    device-resident plans cannot express per-lane yet -> fall back."""
+    from ..bitstream import aac_syntax as syn
+    dec._apply_dependent_coupling_stage(0, before_tns=True)
+    for lane in dec.lanes + dec.cce_lanes:
+        el = dec.elements[(lane.elem_type, lane.elem_id)]
+        cd = el.cur[lane.ch]
+        if el.present_this_frame and cd.coeffs is not None \
+                and cd.tns.present:
+            syn.apply_tns(cd.coeffs, cd)
+            cd.tns = syn.TnsData()
+    dec._apply_dependent_coupling_stage(1, before_tns=False)
+    for (etype, _), el in dec.elements.items():
+        if etype == T.TYPE_CCE and el.coup is not None \
+                and el.present_this_frame and el.coup.coupling_point == 3:
+            raise NotImplementedError(
+                "AFTER_IMDCT coupling needs the single-stream decoder")
+
+
 class PlanningDecoder(Decoder):
     """Parses a mono HE-AACv2 stream into per-frame device plans instead of
     running the numpy DSP."""
@@ -31,8 +55,8 @@ class PlanningDecoder(Decoder):
 
     def _spectral_to_sample(self, present):
         m = self.m4ac
-        from ..bitstream import aac_syntax as syn
         from ..bitstream.sbr_syntax import SBRContext
+        _host_couple_and_tns(self)
         cores, sbrs, pss = [], [], []
         done = set()
         for lane in self.lanes:
@@ -42,8 +66,6 @@ class PlanningDecoder(Decoder):
             if is_ps and lane.ch == 1:
                 continue  # PS second output shares the SCE lane
             cd = el.cur[lane.ch]
-            if cd.tns.present:
-                syn.apply_tns(cd.coeffs, cd)
             cores.append(dict(
                 coeffs=cd.coeffs.copy(),
                 ws=np.int32(cd.ics.window_sequence),
@@ -273,13 +295,11 @@ class LcPlanningDecoder(Decoder):
         self.frames_core = []
 
     def _spectral_to_sample(self, present):
-        from ..bitstream import aac_syntax as syn
+        _host_couple_and_tns(self)
         lanes = []
         for lane in self.lanes:
             el = self.elements[(lane.elem_type, lane.elem_id)]
             cd = el.cur[lane.ch]
-            if cd.tns.present:
-                syn.apply_tns(cd.coeffs, cd)
             lanes.append(cd)
         self.frames_core.append(dict(
             coeffs=np.stack([cd.coeffs for cd in lanes]),

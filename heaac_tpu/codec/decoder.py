@@ -328,7 +328,19 @@ class Decoder:
                     self.m4ac.sbr = 1
                     if self.m4ac.ps == -1 and self.channels == 1:
                         self.m4ac.ps = 1
-                        self._configure(self.m4ac.chan_config)
+                        if self.m4ac.chan_config:
+                            self._configure(self.m4ac.chan_config)
+                        else:
+                            # PCE-configured (config 0): keep the PCE lane
+                            # layout, add the PS second output per SCE
+                            lanes = []
+                            for lane in self.lanes:
+                                lanes.append(lane)
+                                if lane.elem_type == T.TYPE_SCE \
+                                        and lane.ch == 0:
+                                    lanes.append(LaneRef(
+                                        lane.elem_type, lane.elem_id, 1))
+                            self.lanes = lanes
                 used = sbr_syntax.decode_sbr_extension(
                     self, br, che_prev, crc, cnt, etype_prev)
                 total -= used * 8

@@ -132,6 +132,32 @@ def test_batch_ps_34band(ref_harness, tmp_path):
 
 
 @pytest.mark.golden
+@pytest.mark.parametrize("point", ["before", "after"])
+def test_batch_cce_coupling(point, ref_harness, stream_factory, tmp_path):
+    """CCE through decode_batch: dependent coupling (point 0/1) applies on
+    the host before planning; AFTER_IMDCT (point 3) falls back to the
+    single-stream decoder.  Both must match the reference."""
+    import subprocess
+
+    from heaac_tpu.codec.batch import decode_batch
+    from heaac_tpu.io.heaac_testgen import splice_cce_into_lc
+
+    aac, _ = stream_factory("lc_mono_24k", 24000, 1, 32000)
+    cce = splice_cce_into_lc(aac.read_bytes(), coupling_point=point)
+    p = tmp_path / "c.aac"
+    p.write_bytes(cce)
+    g = tmp_path / "c.gold"
+    subprocess.run([ref_harness["decode"], str(p), str(g)], check=True,
+                   capture_output=True)
+    gold = np.fromfile(g, np.int16)
+    out = decode_batch([cce])[0]
+    n = min(len(out), len(gold))
+    assert n > 24000
+    d = np.abs(out[:n, 0].astype(int) - gold[:n].astype(int)).max()
+    assert d <= 2, f"CCE {point} batch-vs-reference max LSB {d}"
+
+
+@pytest.mark.golden
 def test_heterogeneous_decode_batch(ref_harness):
     """decode_batch buckets mixed-profile streams and matches the
     single-stream decoder on every lane."""
