@@ -52,6 +52,7 @@ class PlanningDecoder(Decoder):
         self.frames_sbr = []
         self.frames_ps = []
         self.ps_is34 = None   # stream band mode, fixed at first PS frame
+        self.downsampled = 0  # 32-band synthesis (explicit ext==core rate)
 
     def _spectral_to_sample(self, present):
         m = self.m4ac
@@ -79,6 +80,7 @@ class PlanningDecoder(Decoder):
                     el.sbr.sample_rate = 2 * m.sample_rate
                 if not m.ext_sample_rate:
                     m.ext_sample_rate = 2 * m.sample_rate
+                self.downsampled = int(m.ext_sample_rate <= m.sample_rate)
                 if el.sbr.ps is not None and el.sbr.ps.start:
                     cur34 = int(el.sbr.ps.is34bands)
                     if self.ps_is34 is None:
@@ -109,12 +111,18 @@ class PlanningDecoder(Decoder):
         return np.zeros((0, 1), np.int16)
 
 
-def parse_stream_plans(data: bytes):
+def parse_stream_plans(data: bytes, asc: bytes | None = None):
     """Parse one ADTS stream into (core, sbr, ps) per-frame plan dicts with
     a leading per-stream lane axis folded into the batch: leaf shapes are
-    [T, n_lanes, ...]."""
+    [T, n_lanes, ...].  With ``asc`` given, configuration comes from the
+    AudioSpecificConfig (explicit SBR signaling, e.g. downsampled mode) and
+    the ADTS headers are treated as framing only."""
     frames = split_adts_stream(data)
-    dec = PlanningDecoder(adts_probe=frames[0][:7])
+    if asc is not None:
+        dec = PlanningDecoder(asc=asc)
+        frames = [f[7:] for f in frames]
+    else:
+        dec = PlanningDecoder(adts_probe=frames[0][:7])
     from ..bitstream.reader import BitstreamError
     for f in frames:
         n_before = len(dec.frames_core)
@@ -152,7 +160,8 @@ def parse_stream_plans(data: bytes):
     ps = {k: np.stack([np.stack([np.asarray(lane[k]) for lane in fp])
                        for fp in dec.frames_ps])
           for k in dec.frames_ps[0][0]}
-    return core, sbr, ps, dec.sample_rate, nl, dec.ps_is34 or 0
+    return core, sbr, ps, dec.sample_rate, nl, dec.ps_is34 or 0, \
+        dec.downsampled
 
 
 class BatchDecoder:
@@ -160,9 +169,10 @@ class BatchDecoder:
 
     def __init__(self, stream: bytes, batch: int = 512):
         self.B = batch
-        core, sbr, ps, rate, _nl, is34 = parse_stream_plans(stream)
+        core, sbr, ps, rate, _nl, is34, ds = parse_stream_plans(stream)
         self.sample_rate = rate
         self.is34 = is34
+        self.ds = ds
         self.T = len(core["coeffs"])
         # tile per-frame plans across the batch lazily per frame
         self.core, self.sbr, self.ps = core, sbr, ps
@@ -181,7 +191,7 @@ class BatchDecoder:
         step = jitted_heaac_frame()
         self.state = init_state(self.B)
         c, s, p = self.frame_inputs(0)
-        pcm, st = step(c, s, p, self.state, self.is34)
+        pcm, st = step(c, s, p, self.state, self.is34, self.ds)
         pcm.block_until_ready()
         # state was donated; rebuild fresh for the timed run
         self.state = init_state(self.B)
@@ -194,7 +204,7 @@ class BatchDecoder:
         pcm = None
         for t in range(self.T):
             c, s, p = self.frame_inputs(t)
-            pcm, state = step(c, s, p, state, self.is34)
+            pcm, state = step(c, s, p, state, self.is34, self.ds)
         pcm.block_until_ready()
         self.state = None
         return self.B * self.T * 2048 / self.sample_rate
@@ -206,7 +216,7 @@ class BatchDecoder:
         outs = []
         for t in range(self.T):
             c, s, p = self.frame_inputs(t)
-            pcm, state = step(c, s, p, state, self.is34)
+            pcm, state = step(c, s, p, state, self.is34, self.ds)
             outs.append(np.asarray(pcm))
         pcm_f = np.concatenate(outs, axis=2)           # [B,2,T*2048]
         pcm = np.clip(np.rint(pcm_f), -32768, 32767).astype(np.int16)
@@ -216,7 +226,7 @@ class BatchDecoder:
 # ---------------------------------------------------------------------------
 # Device-resident stream decode: one scan over all frames
 # ---------------------------------------------------------------------------
-def _make_scan_decoder(is34: int = 0):
+def _make_scan_decoder(is34: int = 0, downsampled: int = 0):
     """jit of: scan the fused frame graph over T frames with the per-lane
     plan sequences resident on device (zero per-frame host traffic)."""
     import jax
@@ -226,7 +236,8 @@ def _make_scan_decoder(is34: int = 0):
 
     def body(state, frame):
         core, sbr, ps = frame
-        pcm, state = heaac_frame(core, sbr, ps, state, is34)
+        pcm, state = heaac_frame(core, sbr, ps, state, is34,
+                                 downsampled)
         pcm16 = jnp.clip(jnp.rint(pcm), -32768, 32767).astype(jnp.int16)
         return state, pcm16
 
@@ -245,18 +256,20 @@ class StreamBatchDecoder:
     lane, shape [T, B, ...]), uploads once, then decodes all T frames for
     all B lanes in a single device dispatch (lax.scan over frames)."""
 
-    def __init__(self, streams, batch: int | None = None):
+    def __init__(self, streams, batch: int | None = None,
+                 asc: bytes | None = None):
         import jax
 
         if isinstance(streams, (bytes, bytearray)):
             streams = [bytes(streams)]
-        per = [parse_stream_plans(s) for s in streams]
+        per = [parse_stream_plans(s, asc=asc) for s in streams]
         rate = per[0][3]
         self.lanes_per_stream = per[0][4]
         self.is34 = per[0][5]
-        if any(p[5] != self.is34 for p in per):
+        self.ds = per[0][6]
+        if any(p[5] != self.is34 or p[6] != self.ds for p in per):
             raise NotImplementedError(
-                "mixed PS band modes in one batch (bucket by is34)")
+                "mixed PS band / synthesis modes in one batch")
         T = min(len(p[0]["coeffs"]) for p in per)
         n = len(per)
         B = batch or n  # B = number of streams; lanes = B * lanes_per_stream
@@ -271,16 +284,17 @@ class StreamBatchDecoder:
         self.core = jax.device_put(stack(0))
         self.sbr = jax.device_put(stack(1))
         self.ps = jax.device_put(stack(2))
-        self.run_fn = _make_scan_decoder(self.is34)
+        self.run_fn = _make_scan_decoder(self.is34, self.ds)
 
     def decode(self):
-        """Returns pcm [T, B*lanes_per_stream, 2, 2048] int16."""
+        """Returns pcm [T, B*lanes_per_stream, 2, 2048] int16
+        ([..., 1024] in downsampled mode)."""
         state = init_state(self.B * self.lanes_per_stream)
         state, pcm = self.run_fn(self.core, self.sbr, self.ps, state)
         return pcm
 
     def audio_seconds(self) -> float:
-        return self.B * self.T * 2048 / self.sample_rate
+        return self.B * self.T * (1024 << (not self.ds)) / self.sample_rate
 
 
 # ---------------------------------------------------------------------------

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import ps_jax, sbr_jax
-from ..ops.qmf_jax import qmf_analysis, qmf_synthesis
+from ..ops.qmf_jax import qmf_analysis, qmf_synthesis, qmf_synthesis_ds
 from .core import _consts as core_consts
 from .core import core_frame
 
@@ -50,11 +50,14 @@ def init_state(B: int) -> HeaacState:
     )
 
 
-def heaac_frame(core, plan, ps_plan, state: HeaacState, is34: int = 0):
-    """One frame for B mono HE-AACv2 lanes -> (pcm [B,2,2048], state).
+def heaac_frame(core, plan, ps_plan, state: HeaacState, is34: int = 0,
+                downsampled: int = 0):
+    """One frame for B mono HE-AACv2 lanes -> (pcm [B,2,2048], state);
+    pcm is [B,2,1024] in downsampled mode.
 
-    is34 selects the PS hybrid band mode (static: separate jit variant;
-    aacps.c ps->is34bands)."""
+    is34 selects the PS hybrid band mode and downsampled the 32-band
+    synthesis (aacsbr.c:1719); both are static: one jit specialization
+    per mode combination."""
     m2048, m256, bank = core_consts()
     time_out, saved = core_frame(core["coeffs"], state.saved, core["ws"],
                                  core["wsp"], core["kbd"], core["kbdp"],
@@ -93,8 +96,9 @@ def heaac_frame(core, plan, ps_plan, state: HeaacState, is34: int = 0):
     ps_ap = keep(ps_state_new["ap"], state.ps_ap)
     ps_trans = keep(ps_state_new["trans"], state.ps_trans)
 
-    pcm0, v0 = qmf_synthesis(Lx, state.v0)
-    pcm1, v1 = qmf_synthesis(Rx, state.v1)
+    synth = qmf_synthesis_ds if downsampled else qmf_synthesis
+    pcm0, v0 = synth(Lx, state.v0)
+    pcm1, v1 = synth(Rx, state.v1)
     pcm = jnp.stack([pcm0, pcm1], axis=1)
 
     new_state = HeaacState(
@@ -106,5 +110,5 @@ def heaac_frame(core, plan, ps_plan, state: HeaacState, is34: int = 0):
 
 @functools.cache
 def jitted_heaac_frame():
-    # is34 is static: each band mode compiles its own specialization
-    return jax.jit(heaac_frame, donate_argnums=(3,), static_argnums=(4,))
+    # is34/downsampled are static: each mode compiles its own variant
+    return jax.jit(heaac_frame, donate_argnums=(3,), static_argnums=(4, 5))

@@ -103,3 +103,47 @@ def qmf_synthesis(X, v_hist):
         blocks = v_all[:, 9 - bd: 9 - bd + 32, ro: ro + 64]  # [B,32,64]
         out = out + blocks * win[j]
     return out.reshape(out.shape[0], 2048), v_all[:, 32:]
+
+
+@functools.cache
+def _synthesis_consts_ds():
+    """Downsampled (32-band) synthesis constants (aacsbr.c:1192-1203):
+    q = [-X_re[:32], X_im[31::-1]]; buf = imdct64(q, 1/64);
+    v[n] = buf[63-2n], v[63-n] = -buf[62-2n]; 64-sample v-blocks, 32-sample
+    window taps from the _ds prototype."""
+    m_syn = imdct_half_matrix(64, 1.0 / 64)
+    win = S.qmf_window_ds()
+    E = np.zeros((64, 64), np.float32)      # X_re -> q
+    F = np.zeros((64, 64), np.float32)      # X_im -> q
+    for k in range(32):
+        E[k, k] = -1.0
+        F[31 - k, 32 + k] = 1.0
+    P = np.zeros((64, 64), np.float32)      # buf -> v
+    for n in range(32):
+        P[63 - 2 * n, n] = 1.0
+        P[62 - 2 * n, 63 - n] = -1.0
+    A = (E @ m_syn @ P).astype(np.float32)
+    B2 = (F @ m_syn @ P).astype(np.float32)
+    taps = [(0, 0), (1, 32), (2, 0), (3, 32), (4, 0), (5, 32), (6, 0),
+            (7, 32), (8, 0), (9, 32)]
+    return A, B2, win.reshape(10, 32), taps
+
+
+def qmf_synthesis_ds(X, v_hist):
+    """Downsampled synthesis: X [B,2,38,64], v_hist [B,9,128] (only the
+    first 64 columns carry state in this mode) -> (out [B,1024], new_hist).
+
+    Mirrors sbr_qmf_synthesis with div=1 (aacsbr.c:1175-1230)."""
+    A, B2, win, taps = _synthesis_consts_ds()
+    xr = X[:, 0, :32]
+    xi = X[:, 1, :32]
+    v = (jnp.einsum("bsk,kn->bsn", xr, A, precision=HIGHEST)
+         + jnp.einsum("bsk,kn->bsn", xi, B2, precision=HIGHEST))  # [B,32,64]
+    v_all = jnp.concatenate([v_hist[:, :, :64], v], axis=1)       # [B,41,64]
+    out = 0.0
+    for j, (bd, ro) in enumerate(taps):
+        blocks = v_all[:, 9 - bd: 9 - bd + 32, ro: ro + 32]       # [B,32,32]
+        out = out + blocks * win[j]
+    new_hist = jnp.concatenate(
+        [v_all[:, 32:], jnp.zeros_like(v_all[:, 32:])], axis=2)   # [B,9,128]
+    return out.reshape(out.shape[0], 1024), new_hist

@@ -132,6 +132,39 @@ def test_batch_ps_34band(ref_harness, tmp_path):
 
 
 @pytest.mark.golden
+def test_batch_downsampled_sbr(ref_harness, tmp_path):
+    """Downsampled SBR (explicit ext rate == core rate) in the batched
+    graph: 32-band synthesis variant, pcm [T,B,2,1024]."""
+    import subprocess
+
+    from heaac_tpu.io.bitwriter import BitWriter
+    from heaac_tpu.io.heaac_testgen import SbrStreamWriter, splice_sbr_into_lc
+
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 15)
+    he = splice_sbr_into_lc(core, SbrStreamWriter(
+        core_rate=24000, is_cpe=False, env_hi_shift=-12, seed=3,
+        invf_modes=(0,)))
+    bw = BitWriter()
+    bw.put(5, 5); bw.put(4, 6); bw.put(4, 1); bw.put(4, 6)  # noqa: E702
+    bw.put(5, 2); bw.put(3, 0); bw.align()  # noqa: E702
+    asc = bw.bytes()
+    p = tmp_path / "d.aac"
+    p.write_bytes(he)
+    g = tmp_path / "d.gold"
+    subprocess.run([ref_harness["decode"], str(p), str(g), asc.hex()],
+                   check=True, capture_output=True)
+    gold = np.fromfile(g, np.int16).reshape(-1, 2)
+    bd = StreamBatchDecoder([he], batch=2, asc=asc)
+    assert bd.ds == 1 and bd.sample_rate == 24000
+    pcm = np.asarray(bd.decode())
+    assert pcm.shape[-1] == 1024
+    out = pcm[:, 0].transpose(0, 2, 1).reshape(-1, 2)
+    n = min(len(out), len(gold))
+    d = np.abs(out[:n].astype(int) - gold[:n].astype(int)).max()
+    assert d <= 2, f"downsampled batch-vs-reference max LSB {d}"
+
+
+@pytest.mark.golden
 @pytest.mark.parametrize("point", ["before", "after"])
 def test_batch_cce_coupling(point, ref_harness, stream_factory, tmp_path):
     """CCE through decode_batch: dependent coupling (point 0/1) applies on

@@ -30,7 +30,7 @@ def main():
     sbr_np.DEBUG_SINK = []
     pcm_np, _ = decode_adts(he)
     dbg = sbr_np.DEBUG_SINK
-    core, sbrp, psp, rate, _nl, _is34 = parse_stream_plans(he)
+    core, sbrp, psp, rate, _nl, _is34, _ds = parse_stream_plans(he)
     st = init_state(1)
     m2048, m256, bank = core_consts()
     for t in range(min(nf, len(dbg))):
