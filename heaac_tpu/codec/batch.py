@@ -357,27 +357,53 @@ class LcStreamBatchDecoder:
 
         if isinstance(streams, (bytes, bytearray)):
             streams = [bytes(streams)]
-        parsed = []
-        for st in streams:
-            frames = split_adts_stream(st)
-            dec = LcPlanningDecoder(adts_probe=frames[0][:7])
-            for f in frames:
-                dec.decode_frame(f)
-            parsed.append((dec.frames_core, dec.sample_rate, dec.channels))
+        parsed = [self._parse_one(st) for st in streams]
         n = len(parsed)
         B = batch or n
         self.sample_rate = parsed[0][1]
         self.channels = parsed[0][2]
-        T_ = min(len(p[0]) for p in parsed)
+        T_ = min(len(p[0]["coeffs"]) for p in parsed)
         self.T, self.B = T_, B
 
         def stack(key):
             return np.concatenate(
-                [np.stack([parsed[i % n][0][t][key] for t in range(T_)])
-                 for i in range(B)], axis=1)
+                [parsed[i % n][0][key][:T_] for i in range(B)], axis=1)
 
-        self.core = jax.device_put({k: stack(k) for k in parsed[0][0][0]})
+        self.core = jax.device_put({k: stack(k)
+                                    for k in parsed[0][0].keys()})
         self.run_fn = _make_lc_scan_decoder()
+
+    @staticmethod
+    def _parse_one(st: bytes):
+        """-> (core dict with [T, lanes, ...] leaves, rate, channels).
+
+        Fast path: the whole-stream native C++ parser (ht_parse_stream —
+        ADTS framing + element loop + dequant + TNS in one call); Python
+        planner fallback for PCE/CCE/Main/SSR streams."""
+        frames = split_adts_stream(st)
+        hdr = parse_adts_header(BitReader(frames[0][:7]))
+        if hdr.chan_config and hdr.object_type == 2:
+            from .. import native
+            if native.available():
+                layout = T.CHANNEL_LAYOUT_MAP[hdr.chan_config]
+                lanes = sum(2 if et == T.TYPE_CPE else 1 for et, _ in layout)
+                r = native.parse_stream(st, hdr.sampling_index, layout,
+                                        len(frames))
+                if r is not None:
+                    coeffs, meta = r
+                    core = dict(
+                        coeffs=coeffs,
+                        ws=meta[..., 0].astype(np.int32),
+                        wsp=meta[..., 1].astype(np.int32),
+                        kbd=meta[..., 2].astype(np.int32),
+                        kbdp=meta[..., 3].astype(np.int32))
+                    return core, hdr.sample_rate, lanes
+        dec = LcPlanningDecoder(adts_probe=frames[0][:7])
+        for f in frames:
+            dec.decode_frame(f)
+        core = {k: np.stack([np.asarray(fc[k]) for fc in dec.frames_core])
+                for k in dec.frames_core[0]}
+        return core, dec.sample_rate, dec.channels
 
     def decode(self):
         """Returns pcm [T, B*channels, 1024] int16 (device array)."""

@@ -45,6 +45,10 @@ def lib():
     L.ht_parse_cpe.argtypes = [ctypes.c_char_p, ctypes.c_int64, i64p,
                                ctypes.c_int, f32p, f32p, i32p, i32p, u32p,
                                ctypes.c_int]
+    L.ht_parse_stream.restype = ctypes.c_int
+    L.ht_parse_stream.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                  ctypes.c_int, i32p, ctypes.c_int,
+                                  f32p, i32p, ctypes.c_int]
     L.ht_init()
     _lib = L
     return L
@@ -74,7 +78,8 @@ def parse_sce(data: bytes, pos_bits: int, sampling_index: int,
     if r == -2:
         return None
     if r:
-        raise ValueError(f"native SCE parse failed ({r})")
+        from ..bitstream.reader import BitstreamError
+        raise BitstreamError(f"native SCE parse failed ({r})")
     return coeffs, meta, pos.value, rng.value
 
 
@@ -95,5 +100,32 @@ def parse_cpe(data: bytes, pos_bits: int, sampling_index: int,
     if r == -2:
         return None
     if r:
-        raise ValueError(f"native CPE parse failed ({r})")
+        from ..bitstream.reader import BitstreamError
+        raise BitstreamError(f"native CPE parse failed ({r})")
     return (c0, c1), (m0, m1), pos.value, rng.value
+
+
+def parse_stream(data: bytes, sampling_index: int, layout,
+                 max_frames: int):
+    """Whole-stream native parse (plain LC layouts).
+
+    layout: [(etype, tag), ...] channel layout (lane order); returns
+    (coeffs [T, n_lanes, 1024] f32, meta [T, n_lanes, 8] i32) or None when
+    the stream needs the Python fallback (PCE/CCE/Main/SSR)."""
+    import ctypes as C
+    L = lib()
+    lane_base = np.full(128, -1, np.int32)
+    n_lanes = 0
+    for etype, tag in layout:
+        lane_base[(etype << 4) | tag] = n_lanes
+        n_lanes += 2 if etype == 1 else 1
+    coeffs = np.zeros((max_frames, n_lanes, 1024), np.float32)
+    meta = np.zeros((max_frames, n_lanes, 8), np.int32)
+    r = L.ht_parse_stream(
+        data, len(data), sampling_index,
+        lane_base.ctypes.data_as(C.POINTER(C.c_int32)), n_lanes,
+        coeffs.ctypes.data_as(C.POINTER(C.c_float)),
+        meta.ctypes.data_as(C.POINTER(C.c_int32)), max_frames)
+    if r < 0:
+        return None
+    return coeffs[:r], meta[:r]

@@ -606,4 +606,151 @@ int ht_parse_cpe(const uint8_t* buf, int64_t nbits, int64_t* pos,
   return 0;
 }
 
+// Whole-stream ADTS parse for plain LC layouts (channel configs 1-7):
+// ADTS framing + the per-frame element loop run entirely natively, with
+// per-lane window-sequence chaining and per-frame error isolation (a bad
+// frame becomes silence in its lanes; the ADTS length field resyncs).
+// The analogue of the reference's packet loop + aac_decode_frame parse half
+// (aac_ac3_parser.c:26 + aacdec.c:1973-2076) for the batched host path.
+//
+// lane_base: [128] lane index for (etype<<4)|tag, -1 if not part of the
+// layout (elements may appear in any order; the reference encoder emits
+// SCE-first while the layout map lists CPE-first).  n_lanes = total output
+// lanes.  meta_out stride is 8 per lane: [ws, wsp, kbd, kbdp, tns_present,
+// err, 0, 0].  Returns #frames parsed, or -2 when the stream needs the
+// Python fallback (PCE/CCE/Main/SSR or an unexpected element).
+int ht_parse_stream(const uint8_t* buf, int64_t nbytes, int sampling_index,
+                    const int32_t* lane_base, int n_lanes,
+                    float* coeffs_out, int32_t* meta_out, int max_frames) {
+  uint32_t rng = 0;
+  int frame = 0;
+  int64_t off = 0;  // byte offset
+  // per-lane window chain state
+  int prev_ws[64], prev_kbd[64];
+  for (int i = 0; i < n_lanes && i < 64; i++) {
+    prev_ws[i] = 0;
+    prev_kbd[i] = 0;
+  }
+  if (n_lanes > 64) return -2;
+  while (off + 7 <= nbytes && frame < max_frames) {
+    // resynchronize on the ADTS syncword (aac_ac3_parser.c:26)
+    if (buf[off] != 0xFF || (buf[off + 1] & 0xF6) != 0xF0) {
+      off++;
+      continue;
+    }
+    int prot_absent = buf[off + 1] & 1;
+    int64_t flen = ((int64_t)(buf[off + 3] & 3) << 11) |
+                   ((int64_t)buf[off + 4] << 3) | (buf[off + 5] >> 5);
+    if (flen < 7 || off + flen > nbytes) break;
+    int64_t body = (off + (prot_absent ? 7 : 9)) * 8;
+    Bits b{buf, (off + flen) * 8, body};
+
+    float* fc = coeffs_out + (int64_t)frame * n_lanes * 1024;
+    int32_t* fm = meta_out + (int64_t)frame * n_lanes * 8;
+    memset(fc, 0, sizeof(float) * n_lanes * 1024);
+    for (int l = 0; l < n_lanes; l++) {
+      fm[l * 8 + 0] = 0;
+      fm[l * 8 + 1] = prev_ws[l];
+      fm[l * 8 + 2] = 0;
+      fm[l * 8 + 3] = prev_kbd[l];
+      fm[l * 8 + 4] = 0;
+      fm[l * 8 + 5] = 1;  // err until parsed
+    }
+
+    int filled = 0, bad = 0;
+    for (;;) {
+      if (b.pos + 3 > b.nbits) {
+        bad = 1;
+        break;
+      }
+      int etype = getbits(&b, 3);
+      if (etype == 7) break;  // END
+      if (etype == 6) {       // FIL
+        int cnt = getbits(&b, 4);
+        if (cnt == 15) cnt += getbits(&b, 8) - 1;
+        b.pos += 8 * cnt;
+        if (b.pos > b.nbits) {
+          bad = 1;
+          break;
+        }
+        continue;
+      }
+      if (etype == 4) {  // DSE (aacdec.c:1582)
+        getbits(&b, 4);
+        int align = getbit(&b);
+        int cnt = getbits(&b, 8);
+        if (cnt == 255) cnt += getbits(&b, 8);
+        if (align) b.pos = (b.pos + 7) & ~7;
+        b.pos += 8 * cnt;
+        if (b.pos > b.nbits) {
+          bad = 1;
+          break;
+        }
+        continue;
+      }
+      if (etype != 0 && etype != 1 && etype != 3) return -2;  // PCE/CCE
+      int tag = getbits(&b, 4);
+      int lane = lane_base[(etype << 4) | tag];
+      if (lane < 0) return -2;  // element outside the layout
+      int r;
+      if (etype == 1) {  // CPE: reuse the pair parser body via ht_parse_cpe
+        int64_t p = b.pos;
+        int32_t m0[16], m1[16];
+        r = ht_parse_cpe(buf, b.nbits, &p, sampling_index,
+                         fc + (int64_t)lane * 1024,
+                         fc + (int64_t)(lane + 1) * 1024, m0, m1, &rng, 1);
+        if (r == -2) return -2;
+        if (r) {
+          bad = 1;
+          break;
+        }
+        b.pos = p;
+        for (int c = 0; c < 2; c++) {
+          const int32_t* m = c ? m1 : m0;
+          int32_t* dst = fm + (lane + c) * 8;
+          dst[0] = m[0];
+          dst[2] = m[1];
+          dst[4] = m[13];
+          dst[5] = 0;
+        }
+        filled += 2;
+      } else {  // SCE / LFE
+        int64_t p = b.pos;
+        int32_t m0[16];
+        r = ht_parse_sce(buf, b.nbits, &p, sampling_index,
+                         fc + (int64_t)lane * 1024, m0, &rng, 1);
+        if (r == -2) return -2;
+        if (r) {
+          bad = 1;
+          break;
+        }
+        b.pos = p;
+        int32_t* dst = fm + lane * 8;
+        dst[0] = m0[0];
+        dst[2] = m0[1];
+        dst[4] = m0[13];
+        dst[5] = 0;
+        filled++;
+      }
+    }
+    if (!bad && filled != n_lanes) bad = 1;
+    if (bad) {
+      // frame becomes silence; window chain continues unchanged
+      memset(fc, 0, sizeof(float) * n_lanes * 1024);
+      for (int l = 0; l < n_lanes; l++) {
+        fm[l * 8 + 0] = prev_ws[l];
+        fm[l * 8 + 2] = prev_kbd[l];
+        fm[l * 8 + 5] = 1;
+      }
+    }
+    for (int l = 0; l < n_lanes; l++) {
+      prev_ws[l] = fm[l * 8 + 0];
+      prev_kbd[l] = fm[l * 8 + 2];
+    }
+    off += flen;
+    frame++;
+  }
+  return frame;
+}
+
 }  // extern "C"
