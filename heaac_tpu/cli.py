@@ -24,6 +24,11 @@ def main(argv=None) -> int:
                     help="print timing metrics to stderr")
     ap.add_argument("--no-native", action="store_true",
                     help="disable the native host front-end")
+    ap.add_argument("--profile", metavar="LOGDIR",
+                    help="capture a jax.profiler trace of the decode")
+    ap.add_argument("--bit-trace", action="store_true",
+                    help="log every bitstream read to stderr "
+                         "(get_bits_trace analogue; forces the slow path)")
     args = ap.parse_args(argv)
 
     from .bitstream.adts import probe_adts
@@ -44,15 +49,28 @@ def main(argv=None) -> int:
     nframes = len(split_adts_stream(data))
     met = DecodeMetrics(streams=1).start()
     err_count = 0
-    try:
-        # fast path: whole-stream batched device decode (one dispatch)
-        from .codec.batch import decode_batch
-        pcm = decode_batch([data])[0]
-    except Exception:
-        dec = Decoder(adts_probe=data[:7],
-                      use_native=False if args.no_native else None)
-        pcm = dec.decode(data)
-        err_count = dec.error_count
+    import contextlib
+
+    from .utils.trace import device_trace
+    prof = device_trace(args.profile) if args.profile \
+        else contextlib.nullcontext()
+    with prof:
+        if args.bit_trace:
+            from .bitstream.reader import TracingBitReader
+            dec = Decoder(adts_probe=data[:7],
+                          bitreader_cls=TracingBitReader)
+            pcm = dec.decode(data)
+            err_count = dec.error_count
+        else:
+            try:
+                # fast path: whole-stream batched decode (one dispatch)
+                from .codec.batch import decode_batch
+                pcm = decode_batch([data])[0]
+            except Exception:
+                dec = Decoder(adts_probe=data[:7],
+                              use_native=False if args.no_native else None)
+                pcm = dec.decode(data)
+                err_count = dec.error_count
     met.stop()
     # output rate: 2048-sample frames mean SBR doubled the rate
     upsampled = nframes and len(pcm) // nframes >= 2048

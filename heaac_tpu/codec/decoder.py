@@ -33,11 +33,14 @@ class Decoder:
     """Stateful AAC / HE-AAC decoder for one stream."""
 
     def __init__(self, asc: bytes | None = None, adts_probe: bytes | None = None,
-                 use_native: bool | None = None):
+                 use_native: bool | None = None, bitreader_cls=None):
         if use_native is None:
             from .. import native as _native
             use_native = _native.available()
         self.use_native = use_native
+        self.bitreader_cls = bitreader_cls or BitReader
+        if bitreader_cls is not None:
+            self.use_native = False  # traced reads need the Python parser
         self.m4ac = M4AConfig()
         self.elements: dict[tuple[int, int], syn.ChannelElement] = {}
         self.lanes: list[LaneRef] = []          # output channel order
@@ -110,7 +113,7 @@ class Decoder:
     # ------------------------------------------------------------------
     def decode_frame(self, packet: bytes) -> np.ndarray:
         """Decode one ADTS frame / raw_data_block -> int16 [samples, ch]."""
-        br = BitReader(packet)
+        br = self.bitreader_cls(packet)
         if br.show(12) == 0xFFF:
             hdr = parse_adts_header(br)
             if not self.locked and hdr.chan_config:

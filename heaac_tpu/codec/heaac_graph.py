@@ -59,32 +59,38 @@ def heaac_frame(core, plan, ps_plan, state: HeaacState, is34: int = 0,
     synthesis (aacsbr.c:1719); both are static: one jit specialization
     per mode combination."""
     m2048, m256, bank = core_consts()
-    time_out, saved = core_frame(core["coeffs"], state.saved, core["ws"],
-                                 core["wsp"], core["kbd"], core["kbdp"],
-                                 m2048, m256, bank)
+    # named scopes surface as spans in jax.profiler/xprof timelines
+    # (utils/trace.py; the reference's START_TIMER analogue)
+    with jax.named_scope("core_imdct_ola"):
+        time_out, saved = core_frame(core["coeffs"], state.saved, core["ws"],
+                                     core["wsp"], core["kbd"], core["kbdp"],
+                                     m2048, m256, bank)
 
-    W, x_hist = qmf_analysis(time_out, state.x_hist)
-    X_low = sbr_jax.lf_gen(state.W_prev, W, plan["xlow_new"],
-                           plan["xlow_old"])
-    alpha0, alpha1 = sbr_jax.hf_inverse_filter(X_low)
-    X_high = sbr_jax.hf_gen(X_low, alpha0, alpha1, plan["src_of_m"],
-                            plan["bw_of_m"], plan["hf_mask"],
-                            plan["gen_slot_mask"])
-    e_curr = sbr_jax.env_estimate(X_high, plan["env_onehot"],
-                                  plan["recip"], plan["grp_mean"],
-                                  plan["freqres_sel"])
-    gain, q_m, s_m = sbr_jax.gain_calc(e_curr, plan)
-    Y_m, env_on, g_temp, q_temp = sbr_jax.hf_assemble(
-        X_high, gain, q_m, s_m, state.g_temp, state.q_temp, plan)
-    X, y_cur = sbr_jax.x_gen(X_low, Y_m, state.Y_prev, env_on, plan)
+    with jax.named_scope("qmf_analysis"):
+        W, x_hist = qmf_analysis(time_out, state.x_hist)
+    with jax.named_scope("sbr_hf"):
+        X_low = sbr_jax.lf_gen(state.W_prev, W, plan["xlow_new"],
+                               plan["xlow_old"])
+        alpha0, alpha1 = sbr_jax.hf_inverse_filter(X_low)
+        X_high = sbr_jax.hf_gen(X_low, alpha0, alpha1, plan["src_of_m"],
+                                plan["bw_of_m"], plan["hf_mask"],
+                                plan["gen_slot_mask"])
+        e_curr = sbr_jax.env_estimate(X_high, plan["env_onehot"],
+                                      plan["recip"], plan["grp_mean"],
+                                      plan["freqres_sel"])
+        gain, q_m, s_m = sbr_jax.gain_calc(e_curr, plan)
+        Y_m, env_on, g_temp, q_temp = sbr_jax.hf_assemble(
+            X_high, gain, q_m, s_m, state.g_temp, state.q_temp, plan)
+        X, y_cur = sbr_jax.x_gen(X_low, Y_m, state.Y_prev, env_on, plan)
 
-    lbuf, ps_in_buf = ps_jax.hybrid_analysis(X, state.ps_in_buf, is34)
-    ps_state = dict(delay=state.ps_delay, ap=state.ps_ap,
-                    trans=state.ps_trans)
-    lmix, rmix, ps_state_new = ps_jax.decorrelate_and_mix(lbuf, ps_state,
-                                                          ps_plan, is34)
-    Lp = ps_jax.hybrid_synthesis(lmix, is34)
-    Rp = ps_jax.hybrid_synthesis(rmix, is34)
+    with jax.named_scope("parametric_stereo"):
+        lbuf, ps_in_buf = ps_jax.hybrid_analysis(X, state.ps_in_buf, is34)
+        ps_state = dict(delay=state.ps_delay, ap=state.ps_ap,
+                        trans=state.ps_trans)
+        lmix, rmix, ps_state_new = ps_jax.decorrelate_and_mix(
+            lbuf, ps_state, ps_plan, is34)
+        Lp = ps_jax.hybrid_synthesis(lmix, is34)
+        Rp = ps_jax.hybrid_synthesis(rmix, is34)
     on = ps_plan["ps_on"][:, None, None, None]
     Lx = jnp.where(on > 0, Lp, X)
     Rx = jnp.where(on > 0, Rp, X)
@@ -96,10 +102,11 @@ def heaac_frame(core, plan, ps_plan, state: HeaacState, is34: int = 0,
     ps_ap = keep(ps_state_new["ap"], state.ps_ap)
     ps_trans = keep(ps_state_new["trans"], state.ps_trans)
 
-    synth = qmf_synthesis_ds if downsampled else qmf_synthesis
-    pcm0, v0 = synth(Lx, state.v0)
-    pcm1, v1 = synth(Rx, state.v1)
-    pcm = jnp.stack([pcm0, pcm1], axis=1)
+    with jax.named_scope("qmf_synthesis"):
+        synth = qmf_synthesis_ds if downsampled else qmf_synthesis
+        pcm0, v0 = synth(Lx, state.v0)
+        pcm1, v1 = synth(Rx, state.v1)
+        pcm = jnp.stack([pcm0, pcm1], axis=1)
 
     new_state = HeaacState(
         saved=saved, x_hist=x_hist, W_prev=W, Y_prev=y_cur, g_temp=g_temp,
