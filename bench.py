@@ -105,7 +105,7 @@ def main():
     from heaac_tpu.codec import batch as batch_mod
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
 
     streams = make_test_streams(n=min(8, B))
     dec = batch_mod.StreamBatchDecoder(streams, batch=B)

@@ -19,6 +19,26 @@ import numpy as np
 from ..tables import ps_tables as P
 
 HIGHEST = jax.lax.Precision.HIGHEST
+
+_PALLAS = None  # resolved lazily; see _use_pallas
+
+
+def _use_pallas() -> bool:
+    """Opt-in (HEAAC_PS_PALLAS=1) pallas kernel for the sequential
+    recurrences.  Measured on v5e at B=2048 in the full scan pipeline the
+    kernel is ~2x SLOWER end-to-end than the lax.scan pair (its
+    lanes-minor layout forces [B,...] transposes and breaks XLA's overlap
+    of the recurrences with neighboring stages), despite being ~3x faster
+    in isolation -- so the default stays with XLA."""
+    global _PALLAS
+    if _PALLAS is None:
+        import os
+        if os.environ.get("HEAAC_PS_PALLAS"):
+            from . import ps_pallas
+            _PALLAS = ps_pallas.available()
+        else:
+            _PALLAS = False
+    return bool(_PALLAS)
 @functools.cache
 def _consts(is34: int = 0):
     f = P.hybrid_filters()
@@ -148,23 +168,6 @@ def decorrelate_and_mix(lbuf, state, plan, is34: int = 0):
                        lbuf[..., 0] ** 2 + lbuf[..., 1] ** 2, c["agg"],
                        precision=HIGHEST)                        # [B,34,32]
 
-    def trans_step(carry, pn):
-        pk, psm, pdd = carry
-        pk = jnp.maximum(P.PEAK_DECAY_FACTOR * pk, pn)
-        psm = psm + P.A_SMOOTH * (pn - psm)
-        pdd = pdd + P.A_SMOOTH * (pk - pn - pdd)
-        denom = P.TRANSIENT_IMPACT * pdd
-        tg = jnp.where(denom > psm, psm / jnp.where(denom != 0, denom, 1.0),
-                       1.0)
-        return (pk, psm, pdd), tg
-
-    tstate = (state["trans"][..., 0], state["trans"][..., 1],
-              state["trans"][..., 2])
-    tstate, tgain = jax.lax.scan(trans_step, tstate,
-                                 jnp.moveaxis(power, 2, 0))
-    tgain = jnp.moveaxis(tgain, 0, 1)                            # [B,32,34]
-    tgain_k = jnp.moveaxis(jnp.take(tgain, c["k2i"], axis=2), 1, 2)  # [B,91,32]
-
     delay_full = jnp.concatenate([delay_hist, lbuf], axis=2)     # [B,91,46,2]
     new_delay = delay_full[:, :, 32:]
 
@@ -173,33 +176,21 @@ def decorrelate_and_mix(lbuf, state, plan, is34: int = 0):
     pf = c["pf"]
     in_re = din[..., 0] * pf[None, :, 0:1] - din[..., 1] * pf[None, :, 1:2]
     in_im = din[..., 0] * pf[None, :, 1:2] + din[..., 1] * pf[None, :, 0:1]
-    ag = c["ag"]                                                 # [30,3]
-    qf = c["qf"]                                                 # [30,3,2]
 
-    def ap_step(buf, x):
-        # buf [B,napb,3,5,2]; x [B,napb,2]
-        cur_re, cur_im = x[..., 0], x[..., 1]
-        outs_re, outs_im = cur_re, cur_im
-        new_cols = []
-        for m in range(3):
-            ld = buf[:, :, m, 5 - int(P.LINK_DELAY[m])]          # [B,30,2]
-            a_re = ag[None, :, m] * outs_re
-            a_im = ag[None, :, m] * outs_im
-            nre = (ld[..., 0] * qf[None, :, m, 0]
-                   - ld[..., 1] * qf[None, :, m, 1] - a_re)
-            nim = (ld[..., 0] * qf[None, :, m, 1]
-                   + ld[..., 1] * qf[None, :, m, 0] - a_im)
-            store = jnp.stack([outs_re + ag[None, :, m] * nre,
-                               outs_im + ag[None, :, m] * nim], -1)
-            new_cols.append(store)
-            outs_re, outs_im = nre, nim
-        newbuf = jnp.concatenate(
-            [buf[:, :, :, 1:], jnp.stack(new_cols, 2)[:, :, :, None]], axis=3)
-        return newbuf, jnp.stack([outs_re, outs_im], -1)
-
-    x_seq = jnp.moveaxis(jnp.stack([in_re, in_im], -1), 2, 0)    # [32,B,30,2]
-    ap_new, ap_out = jax.lax.scan(ap_step, ap, x_seq)
-    ap_out = jnp.moveaxis(ap_out, 0, 2)                          # [B,napb,32,2]
+    # the transient detector + 3-link allpass chain are the only sequential
+    # recurrences in the decode graph; on TPU they run as one fused pallas
+    # kernel (ops/ps_pallas.py) in the common 20-band mode, with a lax.scan
+    # fallback elsewhere (CPU CI; the 50-row 34-band block overflows the
+    # kernel's VMEM budget)
+    if napb <= 30 and _use_pallas():
+        from . import ps_pallas
+        tgain, ap_out, ntrans, ap_new = ps_pallas.decorrelate_seq(
+            power, in_re, in_im, state["trans"], ap, c["ag"], c["qf"])
+        tstate = (ntrans[..., 0], ntrans[..., 1], ntrans[..., 2])
+    else:
+        tgain, ap_out, tstate, ap_new = _decorrelate_scans(
+            power, in_re, in_im, state, ap, c)
+    tgain_k = jnp.moveaxis(jnp.take(tgain, c["k2i"], axis=2), 1, 2)  # [B,91,32]
 
     sd = c["short_delay"]
     out_ap = ap_out * tgain_k[:, :napb, :, None]
@@ -252,6 +243,55 @@ def decorrelate_and_mix(lbuf, state, plan, is34: int = 0):
     new_state = dict(delay=new_delay, ap=ap_new,
                      trans=jnp.stack(tstate, -1))
     return lmix, rmix, new_state
+
+
+def _decorrelate_scans(power, in_re, in_im, state, ap, c):
+    """lax.scan fallback for the sequential recurrences (used when the
+    pallas kernel is unavailable, e.g. CPU CI); numerics identical to
+    ops/ps_pallas.decorrelate_seq."""
+    def trans_step(carry, pn):
+        pk, psm, pdd = carry
+        pk = jnp.maximum(P.PEAK_DECAY_FACTOR * pk, pn)
+        psm = psm + P.A_SMOOTH * (pn - psm)
+        pdd = pdd + P.A_SMOOTH * (pk - pn - pdd)
+        denom = P.TRANSIENT_IMPACT * pdd
+        tg = jnp.where(denom > psm, psm / jnp.where(denom != 0, denom, 1.0),
+                       1.0)
+        return (pk, psm, pdd), tg
+
+    tstate = (state["trans"][..., 0], state["trans"][..., 1],
+              state["trans"][..., 2])
+    tstate, tgain = jax.lax.scan(trans_step, tstate,
+                                 jnp.moveaxis(power, 2, 0))
+    tgain = jnp.moveaxis(tgain, 0, 1)                            # [B,32,34]
+    ag = c["ag"]
+    qf = c["qf"]
+
+    def ap_step(buf, x):
+        # buf [B,napb,3,5,2]; x [B,napb,2]
+        cur_re, cur_im = x[..., 0], x[..., 1]
+        outs_re, outs_im = cur_re, cur_im
+        new_cols = []
+        for m in range(3):
+            ld = buf[:, :, m, 5 - int(P.LINK_DELAY[m])]          # [B,napb,2]
+            a_re = ag[None, :, m] * outs_re
+            a_im = ag[None, :, m] * outs_im
+            nre = (ld[..., 0] * qf[None, :, m, 0]
+                   - ld[..., 1] * qf[None, :, m, 1] - a_re)
+            nim = (ld[..., 0] * qf[None, :, m, 1]
+                   + ld[..., 1] * qf[None, :, m, 0] - a_im)
+            store = jnp.stack([outs_re + ag[None, :, m] * nre,
+                               outs_im + ag[None, :, m] * nim], -1)
+            new_cols.append(store)
+            outs_re, outs_im = nre, nim
+        newbuf = jnp.concatenate(
+            [buf[:, :, :, 1:], jnp.stack(new_cols, 2)[:, :, :, None]], axis=3)
+        return newbuf, jnp.stack([outs_re, outs_im], -1)
+
+    x_seq = jnp.moveaxis(jnp.stack([in_re, in_im], -1), 2, 0)    # [32,B,n,2]
+    ap_new, ap_out = jax.lax.scan(ap_step, ap, x_seq)
+    ap_out = jnp.moveaxis(ap_out, 0, 2)                          # [B,napb,32,2]
+    return tgain, ap_out, tstate, ap_new
 
 
 def hybrid_synthesis(buf, is34: int = 0):
