@@ -153,7 +153,8 @@ def decorrelation(ps: PSContext, s: np.ndarray, is34: int) -> np.ndarray:
         psm += P.A_SMOOTH * (pn - psm)
         pdd += P.A_SMOOTH * (pd - pn - pdd)
         denom = P.TRANSIENT_IMPACT * pdd
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore",
+                         over="ignore"):
             transient_gain[:nr_par, n] = np.where(denom > psm,
                                                   psm / denom, _f32(1.0))
 

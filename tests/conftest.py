@@ -7,7 +7,9 @@ import os
 import subprocess
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard assignment: the environment may export JAX_PLATFORMS=axon,
+# and setdefault would silently run the suite on the tunnel TPU
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache_tests")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.makedirs("/tmp/jaxcache_tests", exist_ok=True)
@@ -15,6 +17,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# the axon site hook (sitecustomize) calls
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter start,
+# which overrides the env var -- force CPU at the config level too so the
+# suite runs on the 8-virtual-device host mesh as designed
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -210,3 +210,24 @@ def test_heterogeneous_decode_batch(ref_harness):
         n = min(len(out), len(ref))
         assert out.shape[1] == ref.shape[1]
         assert np.abs(out[:n].astype(int) - ref[:n].astype(int)).max() <= 2
+
+
+@pytest.mark.golden
+def test_sharded_stream_batch(ref_harness):
+    """ShardedStreamBatchDecoder over the 8-virtual-device CPU mesh must
+    produce exactly the single-device batched output (SURVEY.md §2.5)."""
+    import jax
+
+    from heaac_tpu.parallel.sharding import ShardedStreamBatchDecoder
+
+    assert len(jax.devices()) == 8
+    he = _make_stream(ref_harness)
+    plain = StreamBatchDecoder([he], batch=8)
+    want = np.asarray(plain.decode())
+    sharded = ShardedStreamBatchDecoder([he], batch=8)
+    got = np.asarray(sharded.decode())
+    assert got.shape == want.shape
+    # partition-dependent matmul schedules may differ by a last-ulp
+    # rounding; the int16 output tolerates 1 LSB
+    d = np.abs(got.astype(int) - want.astype(int))
+    assert d.max() <= 1, f"sharded-vs-single max LSB {d.max()}"
