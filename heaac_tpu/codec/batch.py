@@ -122,6 +122,22 @@ def parse_stream_plans(data: bytes, asc: bytes | None = None):
         dec = PlanningDecoder(asc=asc)
         frames = [f[7:] for f in frames]
     else:
+        hdr = parse_adts_header(BitReader(frames[0][:7]))
+        if hdr.chan_config in (1, 2) and hdr.object_type == 2:
+            # native whole-stream HE host front-end (he_host.inc): ADTS +
+            # core + SBR/PS side info + plan assembly in one C++ call,
+            # bit-exact vs this Python path (~177x); falls through for
+            # PCE/CCE/Main/SSR or PS band-mode changes
+            from .. import native
+            if native.available():
+                r = native.parse_he_stream(data, hdr.sampling_index,
+                                           hdr.sample_rate, hdr.chan_config,
+                                           len(frames))
+                if r is not None:
+                    core, sbr, ps, info = r
+                    rate = hdr.sample_rate << (1 if info["sbr"] else 0)
+                    return (core, sbr, ps, rate, info["lanes"],
+                            info["is34"], 0)
         dec = PlanningDecoder(adts_probe=frames[0][:7])
     from ..bitstream.reader import BitstreamError
     for f in frames:

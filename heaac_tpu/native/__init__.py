@@ -49,6 +49,10 @@ def lib():
     L.ht_parse_stream.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                   ctypes.c_int, i32p, ctypes.c_int,
                                   f32p, i32p, ctypes.c_int]
+    L.hh_parse_he_stream.restype = ctypes.c_int
+    L.hh_parse_he_stream.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, f32p, i32p, f32p, i32p, f32p, ctypes.c_int, i32p]
     L.ht_init()
     _lib = L
     return L
@@ -129,3 +133,83 @@ def parse_stream(data: bytes, sampling_index: int, layout,
     if r < 0:
         return None
     return coeffs[:r], meta[:r]
+
+
+# ---- HE whole-stream engine (he_host.inc) ---------------------------------
+# packed plan layouts; must match PlanF/PlanI/PsPlanF in he_host.inc
+PLAN_F_FIELDS = [
+    ("start", ()), ("gain_num", (5, 48)), ("den_q", (5, 48)),
+    ("e_orig", (5, 48)), ("q_m0", (5, 48)), ("s_m0", (5, 48)),
+    ("noisegate", (5, 48)), ("lim_onehot", (28, 48)), ("limgain", ()),
+    ("env_onehot", (5, 38)), ("recip", (5,)), ("bw_of_m", (48,)),
+    ("hf_mask", (48,)), ("gen_slot_mask", (40,)), ("fill_map", (42, 5)),
+    ("smooth_on", (38,)), ("sine_re", (38,)), ("sine_im0", (38,)),
+    ("grp_mean", (2, 48, 48)), ("freqres_sel", (5,)),
+    ("use_y_old", (64,)), ("use_y_new", (64,)), ("xlow_old", (64,)),
+    ("xlow_new", (64,)), ("scatter_m", (48, 64)),
+]
+PLAN_I_FIELDS = [
+    ("src_of_m", (48,)), ("row_src", (42,)), ("direct_row", (38,)),
+    ("noise_start", (38,)), ("i_temp", ()),
+]
+PS_F_FIELDS = [
+    ("ps_on", ()), ("H", (2, 6, 34, 4)), ("Ws", (6, 32)), ("We", (6, 32)),
+    ("ipd_on", ()), ("top_mask", (91,)),
+]
+
+
+def _field_size(shape):
+    n = 1
+    for s in shape:
+        n *= s
+    return n
+
+
+PLAN_F_N = sum(_field_size(s) for _, s in PLAN_F_FIELDS)
+PLAN_I_N = sum(_field_size(s) for _, s in PLAN_I_FIELDS)
+PS_F_N = sum(_field_size(s) for _, s in PS_F_FIELDS)
+
+
+def _unpack(buf, fields):
+    """buf [T, L, N] -> {name: [T, L, *shape] view}."""
+    out = {}
+    off = 0
+    for name, shape in fields:
+        n = _field_size(shape)
+        out[name] = buf[:, :, off:off + n].reshape(
+            buf.shape[0], buf.shape[1], *shape)
+        off += n
+    return out
+
+
+def parse_he_stream(data: bytes, sampling_index: int, core_rate: int,
+                    chan_config: int, max_frames: int):
+    """Whole-stream native HE-AAC host front-end: core coeffs + SBR/PS
+    plans in one C++ call (he_host.inc hh_parse_he_stream).  Returns
+    (core dict, sbr plan dict, ps plan dict, info dict) with [T, L, ...]
+    leaves, or None when the stream needs the Python fallback."""
+    import ctypes as C
+    L = lib()
+    nl = chan_config  # 1 -> SCE, 2 -> CPE
+    coeffs = np.zeros((max_frames, nl, 1024), np.float32)
+    meta = np.zeros((max_frames, nl, 8), np.int32)
+    planf = np.zeros((max_frames, nl, PLAN_F_N), np.float32)
+    plani = np.zeros((max_frames, nl, PLAN_I_N), np.int32)
+    psf = np.zeros((max_frames, nl, PS_F_N), np.float32)
+    info = np.zeros(4, np.int32)
+    f32p = C.POINTER(C.c_float)
+    i32p = C.POINTER(C.c_int32)
+    r = L.hh_parse_he_stream(
+        data, len(data), sampling_index, core_rate, chan_config,
+        coeffs.ctypes.data_as(f32p), meta.ctypes.data_as(i32p),
+        planf.ctypes.data_as(f32p), plani.ctypes.data_as(i32p),
+        psf.ctypes.data_as(f32p), max_frames, info.ctypes.data_as(i32p))
+    if r < 0:
+        return None
+    core = dict(coeffs=coeffs[:r], ws=meta[:r, :, 0], wsp=meta[:r, :, 1],
+                kbd=meta[:r, :, 2], kbdp=meta[:r, :, 3])
+    sbr = _unpack(planf[:r], PLAN_F_FIELDS)
+    sbr.update(_unpack(plani[:r], PLAN_I_FIELDS))
+    ps = _unpack(psf[:r], PS_F_FIELDS)
+    return core, sbr, ps, dict(lanes=int(info[0]), sbr=int(info[1]),
+                               is34=int(info[2]), err_frames=int(info[3]))

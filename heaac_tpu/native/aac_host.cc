@@ -754,3 +754,5 @@ int ht_parse_stream(const uint8_t* buf, int64_t nbytes, int sampling_index,
 }
 
 }  // extern "C"
+
+#include "he_host.inc"
