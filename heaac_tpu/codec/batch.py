@@ -111,16 +111,21 @@ class PlanningDecoder(Decoder):
         return np.zeros((0, 1), np.int16)
 
 
-def parse_stream_plans(data: bytes, asc: bytes | None = None):
+def parse_stream_plans(data: bytes, asc: bytes | None = None,
+                       max_frames: int | None = None):
     """Parse one ADTS stream into (core, sbr, ps) per-frame plan dicts with
     a leading per-stream lane axis folded into the batch: leaf shapes are
     [T, n_lanes, ...].  With ``asc`` given, configuration comes from the
     AudioSpecificConfig (explicit SBR signaling, e.g. downsampled mode) and
     the ADTS headers are treated as framing only."""
     frames = split_adts_stream(data)
+    if max_frames is not None:
+        frames = frames[:max_frames]
     if asc is not None:
         dec = PlanningDecoder(asc=asc)
-        frames = [f[7:] for f in frames]
+        # strip the per-frame ADTS header: 9 bytes when a CRC is present
+        # (protection_absent=0), 7 otherwise (io/adts.py:74 convention)
+        frames = [f[9 - (f[1] & 1) * 2:] for f in frames]
     else:
         hdr = parse_adts_header(BitReader(frames[0][:7]))
         if hdr.chan_config in (1, 2) and hdr.object_type == 2:
@@ -152,6 +157,12 @@ def parse_stream_plans(data: bytes, asc: bytes | None = None):
             if len(dec.frames_core) == n_before:
                 if dec.frames_core:
                     nl_ = len(dec.frames_core[0])
+                elif dec.lanes:
+                    # plan lanes = configured output lanes, with the PS
+                    # second output collapsed onto its SCE lane
+                    nl_ = sum(1 for ln in dec.lanes
+                              if not (ln.elem_type == T.TYPE_SCE
+                                      and ln.ch == 1))
                 else:
                     nl_ = 1
                 zc = dict(coeffs=np.zeros(1024, np.float32),
@@ -265,20 +276,49 @@ def _make_scan_decoder(is34: int = 0, downsampled: int = 0):
     return run
 
 
+def _pad_plan_frames(d: dict, defaults: dict, T: int, nl: int) -> dict:
+    """Pad each [T_i, nl, ...] leaf to T frames with the per-key silence
+    default (advisor fix: shorter streams must not truncate the batch)."""
+    T_i = len(next(iter(d.values())))
+    if T_i >= T:
+        return {k: v[:T] for k, v in d.items()}
+    out = {}
+    for k, v in d.items():
+        dv = np.asarray(defaults[k])
+        pad = np.broadcast_to(dv, (T - T_i, nl) + dv.shape)
+        out[k] = np.concatenate([np.asarray(v), pad], axis=0)
+    return out
+
+
+def _he_plan_defaults():
+    zp = frame_plan._zeros_plan()
+    core = dict(coeffs=np.zeros(1024, np.float32), ws=np.int32(0),
+                wsp=np.int32(0), kbd=np.int32(0), kbdp=np.int32(0))
+    sbr = {k: np.asarray(getattr(zp, k))
+           for k in frame_plan.SbrChannelPlan.__dataclass_fields__}
+    ps = frame_plan.build_ps_plan(None, 64)
+    return core, sbr, ps
+
+
 class StreamBatchDecoder:
     """Whole-stream batched decode with device-resident plans.
 
     Takes B streams (each lane genuinely distinct — one plan sequence per
     lane, shape [T, B, ...]), uploads once, then decodes all T frames for
-    all B lanes in a single device dispatch (lax.scan over frames)."""
+    all B lanes in a single device dispatch (lax.scan over frames).
+    Shorter streams are padded to the longest with silence plans; their
+    true lengths are kept in ``frame_counts`` (one entry per batch slot)
+    so callers can trim the decoded output per stream."""
 
     def __init__(self, streams, batch: int | None = None,
-                 asc: bytes | None = None):
+                 asc: bytes | None = None, max_frames: int | None = None,
+                 _sharding=None):
         import jax
 
         if isinstance(streams, (bytes, bytearray)):
             streams = [bytes(streams)]
-        per = [parse_stream_plans(s, asc=asc) for s in streams]
+        per = [parse_stream_plans(s, asc=asc, max_frames=max_frames)
+               for s in streams]
         rate = per[0][3]
         self.lanes_per_stream = per[0][4]
         self.is34 = per[0][5]
@@ -286,20 +326,28 @@ class StreamBatchDecoder:
         if any(p[5] != self.is34 or p[6] != self.ds for p in per):
             raise NotImplementedError(
                 "mixed PS band / synthesis modes in one batch")
-        T = min(len(p[0]["coeffs"]) for p in per)
+        T = max(len(p[0]["coeffs"]) for p in per)
         n = len(per)
         B = batch or n  # B = number of streams; lanes = B * lanes_per_stream
         self.B, self.T, self.sample_rate = B, T, rate
+        self.frame_counts = [len(per[i % n][0]["coeffs"]) for i in range(B)]
+
+        dflt = _he_plan_defaults()
+        nl = self.lanes_per_stream
+        padded = [tuple(_pad_plan_frames(p[idx], dflt[idx], T, nl)
+                        for idx in range(3)) for p in per]
 
         def stack(idx):
-            keys = per[0][idx].keys()
+            keys = padded[0][idx].keys()
             return {k: np.concatenate(
-                [per[i % n][idx][k][:T] for i in range(B)], axis=1)
+                [padded[i % n][idx][k] for i in range(B)], axis=1)
                     for k in keys}
 
-        self.core = jax.device_put(stack(0))
-        self.sbr = jax.device_put(stack(1))
-        self.ps = jax.device_put(stack(2))
+        put = (jax.device_put if _sharding is None
+               else lambda x: jax.device_put(x, _sharding))
+        self.core = {k: put(v) for k, v in stack(0).items()}
+        self.sbr = {k: put(v) for k, v in stack(1).items()}
+        self.ps = {k: put(v) for k, v in stack(2).items()}
         self.run_fn = _make_scan_decoder(self.is34, self.ds)
 
     def decode(self):
@@ -368,35 +416,45 @@ class LcStreamBatchDecoder:
     """Batched AAC-LC decode: B streams, each contributing its channel
     lanes; whole-stream scan with device-resident plans."""
 
-    def __init__(self, streams, batch: int | None = None):
+    def __init__(self, streams, batch: int | None = None,
+                 max_frames: int | None = None):
         import jax
 
         if isinstance(streams, (bytes, bytearray)):
             streams = [bytes(streams)]
-        parsed = [self._parse_one(st) for st in streams]
+        parsed = [self._parse_one(st, max_frames) for st in streams]
         n = len(parsed)
         B = batch or n
         self.sample_rate = parsed[0][1]
         self.channels = parsed[0][2]
-        T_ = min(len(p[0]["coeffs"]) for p in parsed)
+        T_ = max(len(p[0]["coeffs"]) for p in parsed)
         self.T, self.B = T_, B
+        self.frame_counts = [len(parsed[i % n][0]["coeffs"])
+                             for i in range(B)]
+
+        dflt = dict(coeffs=np.zeros(1024, np.float32), ws=np.int32(0),
+                    wsp=np.int32(0), kbd=np.int32(0), kbdp=np.int32(0))
+        ch = self.channels
+        padded = [_pad_plan_frames(p[0], dflt, T_, ch) for p in parsed]
 
         def stack(key):
             return np.concatenate(
-                [parsed[i % n][0][key][:T_] for i in range(B)], axis=1)
+                [padded[i % n][key] for i in range(B)], axis=1)
 
         self.core = jax.device_put({k: stack(k)
                                     for k in parsed[0][0].keys()})
         self.run_fn = _make_lc_scan_decoder()
 
     @staticmethod
-    def _parse_one(st: bytes):
+    def _parse_one(st: bytes, max_frames: int | None = None):
         """-> (core dict with [T, lanes, ...] leaves, rate, channels).
 
         Fast path: the whole-stream native C++ parser (ht_parse_stream —
         ADTS framing + element loop + dequant + TNS in one call); Python
         planner fallback for PCE/CCE/Main/SSR streams."""
         frames = split_adts_stream(st)
+        if max_frames is not None:
+            frames = frames[:max_frames]
         hdr = parse_adts_header(BitReader(frames[0][:7]))
         if hdr.chan_config and hdr.object_type == 2:
             from .. import native
@@ -476,9 +534,15 @@ def decode_batch(streams: list) -> list:
         group = [streams[i] for i in idxs]
         try:
             _decode_bucket(kind, group, idxs, streams, results)
-        except Exception:
+        except Exception as exc:
             # anything the batched graphs cannot plan (mid-stream config
-            # changes, exotic layouts) decodes on the single-stream path
+            # changes, exotic layouts) decodes on the single-stream path —
+            # an invisible perf cliff unless logged (utils/metrics.log)
+            from ..utils.metrics import log
+            log.warning(
+                "decode_batch: bucket %s (%d streams) fell back to the "
+                "single-stream decoder: %s: %s", key, len(idxs),
+                type(exc).__name__, exc)
             for i in idxs:
                 dec = Decoder(adts_probe=streams[i][:7])
                 results[i] = dec.decode(streams[i])
@@ -492,14 +556,16 @@ def _decode_bucket(kind, group, idxs, streams, results):
         pcm = np.asarray(bd.decode())       # [T, B*ch, 1024]
         ch = bd.channels
         for j, i in enumerate(idxs):
-            lanes = pcm[:, j * ch:(j + 1) * ch]   # [T, ch, 1024]
+            T_j = bd.frame_counts[j]
+            lanes = pcm[:T_j, j * ch:(j + 1) * ch]   # [T_j, ch, 1024]
             results[i] = lanes.transpose(0, 2, 1).reshape(-1, ch)
     elif kind == "he":
         bd = StreamBatchDecoder(group)
         pcm = np.asarray(bd.decode())       # [T, B*lanes, 2, 2048]
         lps = bd.lanes_per_stream
         for j, i in enumerate(idxs):
-            lanes = pcm[:, j * lps:(j + 1) * lps]
+            T_j = bd.frame_counts[j]
+            lanes = pcm[:T_j, j * lps:(j + 1) * lps]
             if lps == 1:                     # mono->stereo (PS or dup)
                 results[i] = lanes[:, 0].transpose(0, 2, 1).reshape(-1, 2)
             else:                            # CPE: one channel per lane

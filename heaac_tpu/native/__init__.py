@@ -28,9 +28,13 @@ def lib():
     global _lib
     if _lib is not None:
         return _lib
-    src = os.path.join(_HERE, "aac_host.cc")
+    # rebuild when any input is newer than the .so: aac_host.cc #includes
+    # he_host.inc and tables.inc, so all three count (advisor fix)
+    deps = [os.path.join(_HERE, f)
+            for f in ("aac_host.cc", "he_host.inc", "tables.inc")]
     if (not os.path.exists(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(src)):
+            or os.path.getmtime(_SO) < max(os.path.getmtime(d)
+                                           for d in deps)):
         _build()
     L = ctypes.CDLL(_SO)
     i64p = ctypes.POINTER(ctypes.c_int64)

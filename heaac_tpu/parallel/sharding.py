@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..codec.batch import StreamBatchDecoder
 from ..codec.core import _consts, core_frame
 
 
@@ -38,37 +39,28 @@ def sharded_core_step(mesh: Mesh):
     return step
 
 
-class ShardedStreamBatchDecoder:
+class ShardedStreamBatchDecoder(StreamBatchDecoder):
     """Whole-stream batched decode with the stream/lane axis sharded over a
     1-D ``dp`` mesh (SURVEY.md \u00a72.5): each chip decodes its shard of the
-    lane batch; plans and state are placed with NamedSharding so the scan
-    runs SPMD with zero collectives in the decode graph.
+    lane batch; plans and state are placed with NamedSharding in a single
+    host\u2192device transfer (parse \u2192 sharded device_put, no unsharded staging
+    copy) so the scan runs SPMD with zero collectives in the decode graph.
 
     Same contract as codec.batch.StreamBatchDecoder, plus ``mesh``.
     Requires lanes % mesh size == 0 (pad the stream list to fit).
     """
 
     def __init__(self, streams, batch: int | None = None,
-                 mesh: Mesh | None = None, asc: bytes | None = None):
-        from ..codec.batch import StreamBatchDecoder
-
+                 mesh: Mesh | None = None, asc: bytes | None = None,
+                 max_frames: int | None = None):
         self.mesh = mesh or make_mesh()
-        inner = StreamBatchDecoder(streams, batch=batch, asc=asc)
-        self.B, self.T = inner.B, inner.T
-        self.sample_rate = inner.sample_rate
-        self.lanes_per_stream = inner.lanes_per_stream
-        self.ds, self.is34 = inner.ds, inner.is34
-        lanes = self.B * self.lanes_per_stream
         n = self.mesh.devices.size
+        super().__init__(
+            streams, batch=batch, asc=asc, max_frames=max_frames,
+            _sharding=NamedSharding(self.mesh, P(None, "dp")))
+        lanes = self.B * self.lanes_per_stream
         if lanes % n:
             raise ValueError(f"{lanes} lanes not divisible by {n} devices")
-        shard = NamedSharding(self.mesh, P(None, "dp"))  # [T, B, ...] on B
-        put = lambda d: {k: jax.device_put(np.asarray(v), shard)
-                         for k, v in d.items()}
-        self.core = put(inner.core)
-        self.sbr = put(inner.sbr)
-        self.ps = put(inner.ps)
-        self.run_fn = inner.run_fn
         self._state_shard = NamedSharding(self.mesh, P("dp"))
 
     def decode(self):
@@ -79,6 +71,3 @@ class ShardedStreamBatchDecoder:
             lambda x: jax.device_put(x, self._state_shard), state)
         _, pcm = self.run_fn(self.core, self.sbr, self.ps, state)
         return pcm
-
-    def audio_seconds(self) -> float:
-        return self.B * self.T * (1024 << (not self.ds)) / self.sample_rate

@@ -231,3 +231,24 @@ def test_sharded_stream_batch(ref_harness):
     # rounding; the int16 output tolerates 1 LSB
     d = np.abs(got.astype(int) - want.astype(int))
     assert d.max() <= 1, f"sharded-vs-single max LSB {d.max()}"
+
+
+@pytest.mark.golden
+def test_mixed_length_batch(ref_harness):
+    """A batch mixing stream lengths must decode every stream in full:
+    shorter streams are padded with silence plans and trimmed back to
+    their true frame counts (advisor fix: no min-T truncation)."""
+    from heaac_tpu.bitstream.adts import split_adts_stream
+    from heaac_tpu.codec.batch import decode_batch
+
+    he_long = _make_stream(ref_harness)
+    short = b"".join(split_adts_stream(he_long)[:10])
+    res = decode_batch([short, he_long])
+    ref_long, _ = decode_adts(he_long)
+    ref_short, _ = decode_adts(short)
+    # the long stream must NOT be truncated to the short one's length
+    assert len(res[1]) == len(ref_long)
+    assert len(res[0]) == len(ref_short)
+    for out, ref in zip(res, (ref_short, ref_long)):
+        d = np.abs(out.astype(int) - ref.astype(int))
+        assert d.max() <= 2, f"mixed-length batch max LSB {d.max()}"
