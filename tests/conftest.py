@@ -64,6 +64,7 @@ def ref_harness():
 def gen_pcm(path: Path, sr: int, channels: int, seconds: float = 2.0,
             seed: int = 0) -> None:
     """Synthesize a spectrally-rich int16 PCM test signal with transients."""
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
     n = int(sr * seconds)
     t = np.arange(n) / sr

@@ -2,6 +2,7 @@
 # Build the reference (oracle) libs + validation harnesses out-of-tree.
 # Idempotent; safe to re-run.  Used by tests/conftest.py fixtures.
 set -e
+TOOLS_DIR=$(cd "$(dirname "$0")" && pwd)
 REF=${REF:-/root/reference}
 REFBUILD=${REFBUILD:-/tmp/refbuild}
 if [ ! -f "$REFBUILD/config.mak" ]; then
@@ -16,4 +17,4 @@ if [ ! -f "$REFBUILD/config.mak" ]; then
 fi
 cd "$REFBUILD"
 make -j"$(nproc)" libavcodec/libavcodec.a libavutil/libavutil.a > build.log 2>&1
-REF="$REF" REFBUILD="$REFBUILD" sh "$(dirname "$0")/ref_harness/build.sh"
+REF="$REF" REFBUILD="$REFBUILD" sh "$TOOLS_DIR/ref_harness/build.sh"
