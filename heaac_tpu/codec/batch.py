@@ -13,9 +13,10 @@ import numpy as np
 from ..bitstream.adts import parse_adts_header, split_adts_stream
 from ..bitstream.reader import BitReader
 from ..tables import aac_tables as T
-from . import frame_plan
+from . import compact_plan, frame_plan
 from .decoder import Decoder
-from .heaac_graph import HeaacState, init_state, jitted_heaac_frame
+from .heaac_graph import (HeaacState, init_compact_state, init_state,
+                          jitted_heaac_frame)
 
 
 
@@ -44,10 +45,13 @@ def _host_couple_and_tns(dec) -> None:
 
 class PlanningDecoder(Decoder):
     """Parses a mono HE-AACv2 stream into per-frame device plans instead of
-    running the numpy DSP."""
+    running the numpy DSP.  With ``compact=True`` (the wire default) each
+    frame-lane becomes the ~3 KB compact record of codec/compact_plan.py,
+    expanded on device; otherwise the dense frame_plan tensors."""
 
-    def __init__(self, *a, **kw):
+    def __init__(self, *a, compact: bool = False, **kw):
         super().__init__(*a, **kw)
+        self.compact = compact
         self.frames_core = []
         self.frames_sbr = []
         self.frames_ps = []
@@ -90,14 +94,19 @@ class PlanningDecoder(Decoder):
                         # compiled per mode -> single-stream numpy fallback
                         raise NotImplementedError(
                             "PS band mode changes mid-stream")
-                plan = frame_plan.build_sbr_plan(
-                    el.sbr, lane.ch, lane.elem_type,
-                    dequant_done=key in done)
+                build = (compact_plan.build_sbr_compact if self.compact
+                         else frame_plan.build_sbr_plan)
+                plan = build(el.sbr, lane.ch, lane.elem_type,
+                             dequant_done=key in done)
                 done.add(key)
                 top = el.sbr.kx[1] + el.sbr.m[1]
-                ps_plan = frame_plan.build_ps_plan(
-                    el.sbr.ps if is_ps else None, top,
-                    is34=self.ps_is34 or 0)
+                ps_build = (compact_plan.build_ps_compact if self.compact
+                            else frame_plan.build_ps_plan)
+                ps_plan = ps_build(el.sbr.ps if is_ps else None, top,
+                                   is34=self.ps_is34 or 0)
+            elif self.compact:
+                plan = compact_plan.zeros_compact()
+                ps_plan = compact_plan.zeros_ps_compact()
             else:
                 plan = frame_plan._zeros_plan()
                 ps_plan = frame_plan.build_ps_plan(None, 64)
@@ -112,17 +121,20 @@ class PlanningDecoder(Decoder):
 
 
 def parse_stream_plans(data: bytes, asc: bytes | None = None,
-                       max_frames: int | None = None):
+                       max_frames: int | None = None,
+                       compact: bool = False):
     """Parse one ADTS stream into (core, sbr, ps) per-frame plan dicts with
     a leading per-stream lane axis folded into the batch: leaf shapes are
     [T, n_lanes, ...].  With ``asc`` given, configuration comes from the
     AudioSpecificConfig (explicit SBR signaling, e.g. downsampled mode) and
-    the ADTS headers are treated as framing only."""
+    the ADTS headers are treated as framing only.  ``compact=True`` emits
+    the compact wire records (codec/compact_plan.py) instead of dense
+    tensors."""
     frames = split_adts_stream(data)
     if max_frames is not None:
         frames = frames[:max_frames]
     if asc is not None:
-        dec = PlanningDecoder(asc=asc)
+        dec = PlanningDecoder(asc=asc, compact=compact)
         # strip the per-frame ADTS header: 9 bytes when a CRC is present
         # (protection_absent=0), 7 otherwise (io/adts.py:74 convention)
         frames = [f[9 - (f[1] & 1) * 2:] for f in frames]
@@ -131,19 +143,20 @@ def parse_stream_plans(data: bytes, asc: bytes | None = None,
         if hdr.chan_config in (1, 2) and hdr.object_type == 2:
             # native whole-stream HE host front-end (he_host.inc): ADTS +
             # core + SBR/PS side info + plan assembly in one C++ call,
-            # bit-exact vs this Python path (~177x); falls through for
+            # bit-exact vs this Python path; falls through for
             # PCE/CCE/Main/SSR or PS band-mode changes
             from .. import native
             if native.available():
-                r = native.parse_he_stream(data, hdr.sampling_index,
-                                           hdr.sample_rate, hdr.chan_config,
-                                           len(frames))
+                parse = (native.parse_he_stream_compact if compact
+                         else native.parse_he_stream)
+                r = parse(data, hdr.sampling_index, hdr.sample_rate,
+                          hdr.chan_config, len(frames))
                 if r is not None:
                     core, sbr, ps, info = r
                     rate = hdr.sample_rate << (1 if info["sbr"] else 0)
                     return (core, sbr, ps, rate, info["lanes"],
                             info["is34"], 0)
-        dec = PlanningDecoder(adts_probe=frames[0][:7])
+        dec = PlanningDecoder(adts_probe=frames[0][:7], compact=compact)
     from ..bitstream.reader import BitstreamError
     for f in frames:
         n_before = len(dec.frames_core)
@@ -169,24 +182,37 @@ def parse_stream_plans(data: bytes, asc: bytes | None = None,
                           ws=np.int32(0), wsp=np.int32(0),
                           kbd=np.int32(0), kbdp=np.int32(0))
                 dec.frames_core.append([dict(zc) for _ in range(nl_)])
-                dec.frames_sbr.append(
-                    [frame_plan._zeros_plan() for _ in range(nl_)])
-                dec.frames_ps.append(
-                    [frame_plan.build_ps_plan(None, 64) for _ in range(nl_)])
+                if compact:
+                    dec.frames_sbr.append(
+                        [compact_plan.zeros_compact() for _ in range(nl_)])
+                    dec.frames_ps.append(
+                        [compact_plan.zeros_ps_compact()
+                         for _ in range(nl_)])
+                else:
+                    dec.frames_sbr.append(
+                        [frame_plan._zeros_plan() for _ in range(nl_)])
+                    dec.frames_ps.append(
+                        [frame_plan.build_ps_plan(None, 64)
+                         for _ in range(nl_)])
     if not dec.frames_core:
         raise BitstreamError("no decodable frames in stream")
     nl = len(dec.frames_core[0])
-    core = {k: np.stack([np.stack([np.asarray(lane[k]) for lane in fc])
-                         for fc in dec.frames_core])
-            for k in dec.frames_core[0][0]}
-    sbr_keys = frame_plan.SbrChannelPlan.__dataclass_fields__
-    sbr = {k: np.stack([np.stack([np.asarray(getattr(lane, k))
-                                  for lane in fs])
-                        for fs in dec.frames_sbr])
-           for k in sbr_keys}
-    ps = {k: np.stack([np.stack([np.asarray(lane[k]) for lane in fp])
-                       for fp in dec.frames_ps])
-          for k in dec.frames_ps[0][0]}
+
+    def stack_dicts(frames_list):
+        return {k: np.stack([np.stack([np.asarray(lane[k]) for lane in fr])
+                             for fr in frames_list])
+                for k in frames_list[0][0]}
+
+    core = stack_dicts(dec.frames_core)
+    if compact:
+        sbr = stack_dicts(dec.frames_sbr)
+    else:
+        sbr_keys = frame_plan.SbrChannelPlan.__dataclass_fields__
+        sbr = {k: np.stack([np.stack([np.asarray(getattr(lane, k))
+                                      for lane in fs])
+                            for fs in dec.frames_sbr])
+               for k in sbr_keys}
+    ps = stack_dicts(dec.frames_ps)
     return core, sbr, ps, dec.sample_rate, nl, dec.ps_is34 or 0, \
         dec.downsampled
 
@@ -253,18 +279,22 @@ class BatchDecoder:
 # ---------------------------------------------------------------------------
 # Device-resident stream decode: one scan over all frames
 # ---------------------------------------------------------------------------
-def _make_scan_decoder(is34: int = 0, downsampled: int = 0):
+def _make_scan_decoder(is34: int = 0, downsampled: int = 0,
+                       compact: bool = True):
     """jit of: scan the fused frame graph over T frames with the per-lane
-    plan sequences resident on device (zero per-frame host traffic)."""
+    plan sequences resident on device (zero per-frame host traffic).  In
+    compact mode the scanned plan leaves are the ~3 KB wire records,
+    expanded to dense tensors inside the scan body."""
     import jax
     import jax.numpy as jnp
 
-    from .heaac_graph import heaac_frame
+    from .heaac_graph import heaac_frame, heaac_frame_compact
+
+    step = heaac_frame_compact if compact else heaac_frame
 
     def body(state, frame):
         core, sbr, ps = frame
-        pcm, state = heaac_frame(core, sbr, ps, state, is34,
-                                 downsampled)
+        pcm, state = step(core, sbr, ps, state, is34, downsampled)
         pcm16 = jnp.clip(jnp.rint(pcm), -32768, 32767).astype(jnp.int16)
         return state, pcm16
 
@@ -290,10 +320,13 @@ def _pad_plan_frames(d: dict, defaults: dict, T: int, nl: int) -> dict:
     return out
 
 
-def _he_plan_defaults():
-    zp = frame_plan._zeros_plan()
+def _he_plan_defaults(compact: bool = False):
     core = dict(coeffs=np.zeros(1024, np.float32), ws=np.int32(0),
                 wsp=np.int32(0), kbd=np.int32(0), kbdp=np.int32(0))
+    if compact:
+        return core, compact_plan.zeros_compact(), \
+            compact_plan.zeros_ps_compact()
+    zp = frame_plan._zeros_plan()
     sbr = {k: np.asarray(getattr(zp, k))
            for k in frame_plan.SbrChannelPlan.__dataclass_fields__}
     ps = frame_plan.build_ps_plan(None, 64)
@@ -312,12 +345,14 @@ class StreamBatchDecoder:
 
     def __init__(self, streams, batch: int | None = None,
                  asc: bytes | None = None, max_frames: int | None = None,
-                 _sharding=None):
+                 compact: bool = True, _sharding=None):
         import jax
 
         if isinstance(streams, (bytes, bytearray)):
             streams = [bytes(streams)]
-        per = [parse_stream_plans(s, asc=asc, max_frames=max_frames)
+        self.compact = compact
+        per = [parse_stream_plans(s, asc=asc, max_frames=max_frames,
+                                  compact=compact)
                for s in streams]
         rate = per[0][3]
         self.lanes_per_stream = per[0][4]
@@ -332,7 +367,7 @@ class StreamBatchDecoder:
         self.B, self.T, self.sample_rate = B, T, rate
         self.frame_counts = [len(per[i % n][0]["coeffs"]) for i in range(B)]
 
-        dflt = _he_plan_defaults()
+        dflt = _he_plan_defaults(compact)
         nl = self.lanes_per_stream
         padded = [tuple(_pad_plan_frames(p[idx], dflt[idx], T, nl)
                         for idx in range(3)) for p in per]
@@ -348,13 +383,18 @@ class StreamBatchDecoder:
         self.core = {k: put(v) for k, v in stack(0).items()}
         self.sbr = {k: put(v) for k, v in stack(1).items()}
         self.ps = {k: put(v) for k, v in stack(2).items()}
-        self.run_fn = _make_scan_decoder(self.is34, self.ds)
+        self.run_fn = _make_scan_decoder(self.is34, self.ds, compact)
+
+    def _init_state(self):
+        lanes = self.B * self.lanes_per_stream
+        return (init_compact_state(lanes) if self.compact
+                else init_state(lanes))
 
     def decode(self):
         """Returns pcm [T, B*lanes_per_stream, 2, 2048] int16
         ([..., 1024] in downsampled mode)."""
-        state = init_state(self.B * self.lanes_per_stream)
-        state, pcm = self.run_fn(self.core, self.sbr, self.ps, state)
+        state, pcm = self.run_fn(self.core, self.sbr, self.ps,
+                                 self._init_state())
         return pcm
 
     def audio_seconds(self) -> float:

@@ -338,11 +338,15 @@ def build_ps_plan(ps, top: int, is34: int = 0) -> dict:
         stop = int(ps.border_position[e + 1])
         if stop <= start:
             continue
-        width = np.float32(1.0 / (stop - start))
         for n in range(start + 1, stop + 1):
             if not 0 <= n < 32:
                 continue
-            t = np.float32((n - start) * width)
+            # single correctly-rounded f32 division (instead of the
+            # reference's incremental `h += step` walk, already an accepted
+            # reformulation): deterministic across host numpy and the
+            # on-device compact expansion — a multiply by 1/width is not,
+            # because XLA may contract it with the neighboring subtract
+            t = np.float32(n - start) / np.float32(stop - start)
             plan["Ws"][e, n] = np.float32(1.0) - t
             plan["We"][e + 1, n] = t
     plan["ipd_on"] = np.float32(1 if ps.enable_ipdopd else 0)

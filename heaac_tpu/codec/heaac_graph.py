@@ -119,3 +119,34 @@ def heaac_frame(core, plan, ps_plan, state: HeaacState, is34: int = 0,
 def jitted_heaac_frame():
     # is34/downsampled are static: each mode compiles its own variant
     return jax.jit(heaac_frame, donate_argnums=(3,), static_argnums=(4, 5))
+
+
+# ---------------------------------------------------------------------------
+# Compact-plan variant: expand the ~3 KB/frame-lane wire records into the
+# dense plan tensors on device (codec/compact_plan.py), with the reference's
+# persistent PS H / phase-smoothing state carried as device arrays.
+# ---------------------------------------------------------------------------
+def init_compact_state(B: int):
+    from . import compact_plan
+    return (init_state(B), compact_plan.init_ps_hist(B))
+
+
+def heaac_frame_compact(core, sc, pc, carry, is34: int = 0,
+                        downsampled: int = 0):
+    """One frame for B lanes from compact wire plans -> (pcm, new carry).
+
+    carry = (HeaacState, ps_hist dict); see init_compact_state."""
+    from . import compact_plan
+    state, ph = carry
+    with jax.named_scope("expand_plans"):
+        plan = compact_plan.expand_sbr(sc)
+        ps_plan, ph_new = compact_plan.expand_ps(pc, ph, is34)
+    pcm, new_state = heaac_frame(core, plan, ps_plan, state, is34,
+                                 downsampled)
+    return pcm, (new_state, ph_new)
+
+
+@functools.cache
+def jitted_heaac_frame_compact():
+    return jax.jit(heaac_frame_compact, donate_argnums=(3,),
+                   static_argnums=(4, 5))

@@ -57,6 +57,12 @@ def lib():
     L.hh_parse_he_stream.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, f32p, i32p, f32p, i32p, f32p, ctypes.c_int, i32p]
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    L.hh_parse_he_stream_compact.restype = ctypes.c_int
+    L.hh_parse_he_stream_compact.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, f32p, i32p, i32p, i8p, f32p, i32p, i8p,
+        ctypes.c_int, i32p]
     L.ht_init()
     _lib = L
     return L
@@ -184,6 +190,46 @@ def _unpack(buf, fields):
             buf.shape[0], buf.shape[1], *shape)
         off += n
     return out
+
+
+def parse_he_stream_compact(data: bytes, sampling_index: int,
+                            core_rate: int, chan_config: int,
+                            max_frames: int):
+    """Native HE whole-stream parse emitting the compact wire plans
+    (codec/compact_plan.py SC_*/PC_* layout, ~3 KB/frame-lane instead of
+    the ~59 KB dense tensors).  Returns (core dict, sbr compact dict,
+    ps compact dict, info dict) with [T, L, ...] leaves, or None when the
+    stream needs the Python fallback."""
+    import ctypes as C
+
+    from ..codec import compact_plan as cp
+    L = lib()
+    nl = chan_config
+    coeffs = np.zeros((max_frames, nl, 1024), np.float32)
+    meta = np.zeros((max_frames, nl, 8), np.int32)
+    sci = np.zeros((max_frames, nl, cp.SC_I_N), np.int32)
+    scb = np.zeros((max_frames, nl, cp.SC_B_N), np.int8)
+    scf = np.zeros((max_frames, nl, cp.SC_F_N), np.float32)
+    pci = np.zeros((max_frames, nl, cp.PC_I_N), np.int32)
+    pcb = np.zeros((max_frames, nl, cp.PC_B_N), np.int8)
+    info = np.zeros(4, np.int32)
+    f32p = C.POINTER(C.c_float)
+    i32p = C.POINTER(C.c_int32)
+    i8p = C.POINTER(C.c_int8)
+    r = L.hh_parse_he_stream_compact(
+        data, len(data), sampling_index, core_rate, chan_config,
+        coeffs.ctypes.data_as(f32p), meta.ctypes.data_as(i32p),
+        sci.ctypes.data_as(i32p), scb.ctypes.data_as(i8p),
+        scf.ctypes.data_as(f32p), pci.ctypes.data_as(i32p),
+        pcb.ctypes.data_as(i8p), max_frames, info.ctypes.data_as(i32p))
+    if r < 0:
+        return None
+    core = dict(coeffs=coeffs[:r], ws=meta[:r, :, 0], wsp=meta[:r, :, 1],
+                kbd=meta[:r, :, 2], kbdp=meta[:r, :, 3])
+    sbr = dict(sc_i=sci[:r], sc_b=scb[:r], sc_f=scf[:r])
+    ps = dict(pc_i=pci[:r], pc_b=pcb[:r])
+    return core, sbr, ps, dict(lanes=int(info[0]), sbr=int(info[1]),
+                               is34=int(info[2]), err_frames=int(info[3]))
 
 
 def parse_he_stream(data: bytes, sampling_index: int, core_rate: int,

@@ -64,10 +64,8 @@ class ShardedStreamBatchDecoder(StreamBatchDecoder):
         self._state_shard = NamedSharding(self.mesh, P("dp"))
 
     def decode(self):
-        from ..codec.heaac_graph import init_state
-
-        state = init_state(self.B * self.lanes_per_stream)
         state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, self._state_shard), state)
+            lambda x: jax.device_put(x, self._state_shard),
+            self._init_state())
         _, pcm = self.run_fn(self.core, self.sbr, self.ps, state)
         return pcm

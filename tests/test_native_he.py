@@ -93,6 +93,76 @@ def test_native_he_cpe_coupled_exact(ref_harness):
     _assert_exact(he)
 
 
+def _assert_compact_exact(he):
+    """Native compact emission == Python compact planner, bit for bit."""
+    from heaac_tpu.codec import batch
+
+    hdr = parse_adts_header(BitReader(he[:7]))
+    T = len(split_adts_stream(he))
+    r = native.parse_he_stream_compact(he, hdr.sampling_index,
+                                       hdr.sample_rate, hdr.chan_config, T)
+    assert r is not None, "native compact engine fell back unexpectedly"
+    core_n, sbr_n, ps_n, info = r
+    saved = native.parse_he_stream_compact
+    try:
+        native.parse_he_stream_compact = lambda *a, **k: None
+        core_p, sbr_p, ps_p, _, _, _, _ = batch.parse_stream_plans(
+            he, compact=True)
+    finally:
+        native.parse_he_stream_compact = saved
+    for d_p, d_n, what in ((core_p, core_n, "core"), (sbr_p, sbr_n, "sbr"),
+                           (ps_p, ps_n, "ps")):
+        for k in d_p:
+            a = np.asarray(d_p[k])
+            b = np.asarray(d_n[k])
+            assert a.shape == b.shape, (what, k, a.shape, b.shape)
+            assert np.array_equal(a, b), (
+                f"{what}.{k} differs at {np.argwhere(a != b)[:3].tolist()}")
+
+
+@pytest.mark.golden
+@pytest.mark.parametrize("cfg", [
+    dict(seed=3, invf_modes=(0, 1, 2, 3)),
+    dict(seed=13, interpol_freq=0, invf_modes=(0,)),
+    dict(seed=15, smoothing_mode=0, invf_modes=(0,)),
+])
+def test_native_he_compact_exact(cfg, ref_harness):
+    from heaac_tpu.io.heaac_testgen import SbrStreamWriter, splice_sbr_into_lc
+
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 15)
+    he = splice_sbr_into_lc(core, SbrStreamWriter(
+        core_rate=24000, is_cpe=False, env_hi_shift=-12, **cfg))
+    _assert_compact_exact(he)
+
+
+@pytest.mark.golden
+@pytest.mark.parametrize("pskw", [
+    dict(seed=2),
+    dict(seed=4, iid_mode=2, icc_mode=2),
+    dict(seed=6, iid_mode=1, icc_mode=4, enable_ipdopd=True),
+])
+def test_native_he_compact_ps_exact(pskw, ref_harness):
+    from heaac_tpu.io.heaac_testgen import (PsStreamWriter, SbrStreamWriter,
+                                            splice_sbr_into_lc)
+
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 15)
+    he = splice_sbr_into_lc(core, SbrStreamWriter(
+        core_rate=24000, is_cpe=False, env_hi_shift=-12, seed=3,
+        invf_modes=(0,), ps_writer=PsStreamWriter(**pskw)))
+    _assert_compact_exact(he)
+
+
+@pytest.mark.golden
+def test_native_he_compact_cpe_exact(ref_harness):
+    from heaac_tpu.io.heaac_testgen import SbrStreamWriter, splice_sbr_into_lc
+
+    core = make_core(ref_harness, "sbr_core_s24", 24000, 2, 64000, 12)
+    he = splice_sbr_into_lc(core, SbrStreamWriter(
+        core_rate=24000, is_cpe=True, env_hi_shift=-12, seed=11,
+        coupling=True, invf_modes=(0, 1)))
+    _assert_compact_exact(he)
+
+
 def test_native_he_fallback_for_main():
     """AAC-Main (prediction) must return None -> Python path."""
     from heaac_tpu.codec.encoder import AacEncoder
