@@ -26,17 +26,24 @@ struct Bits {
 };
 
 static inline uint32_t showbits(const Bits& b, int n) {
-  // MSB-first peek of up to 25 bits (enough for every code here except the
-  // 19-bit scalefactor codes + margin)
+  // MSB-first peek of up to 25 bits.  Fast path: one unaligned 64-bit
+  // load + byteswap (the analogue of the reference's UPDATE_CACHE,
+  // get_bits.h:131); byte-wise fallback near the window end so we never
+  // read past the logical bit limit's byte span.
   int64_t byte = b.pos >> 3;
   int shift = (int)(b.pos & 7);
-  uint64_t v = 0;
-  for (int i = 0; i < 5; i++) {
-    uint64_t c = (byte + i) * 8 < b.nbits ? b.buf[byte + i] : 0;
-    v = (v << 8) | c;
+  uint64_t v;
+  if ((byte + 8) * 8 <= b.nbits) {
+    memcpy(&v, b.buf + byte, 8);
+    v = __builtin_bswap64(v);
+  } else {
+    v = 0;
+    for (int i = 0; i < 8; i++) {
+      uint64_t c = (byte + i) * 8 < b.nbits ? b.buf[byte + i] : 0;
+      v = (v << 8) | c;
+    }
   }
-  v = (v >> (40 - shift - n)) & ((1ull << n) - 1);
-  return (uint32_t)v;
+  return (uint32_t)((v >> (64 - shift - n)) & ((1ull << n) - 1));
 }
 
 static inline uint32_t getbits(Bits* b, int n) {
@@ -47,11 +54,32 @@ static inline uint32_t getbits(Bits* b, int n) {
 
 static inline uint32_t getbit(Bits* b) { return getbits(b, 1); }
 
+// MSB-aligned 64-bit window at the current position (>= 57 valid bits):
+// one load feeds a VLC code plus its sign bits in the hot spectral loop
+static inline uint64_t peek64(const Bits& b) {
+  int64_t byte = b.pos >> 3;
+  int shift = (int)(b.pos & 7);
+  uint64_t v;
+  if ((byte + 8) * 8 <= b.nbits) {
+    memcpy(&v, b.buf + byte, 8);
+    v = __builtin_bswap64(v);
+  } else {
+    v = 0;
+    for (int i = 0; i < 8; i++) {
+      uint64_t c = (byte + i) * 8 < b.nbits ? b.buf[byte + i] : 0;
+      v = (v << 8) | c;
+    }
+  }
+  return v << shift;
+}
+
 // ----------------------------------------------------------------- vlc ----
+// flat full-width table, one int32 entry per prefix: (len << 16) | sym,
+// sym 0xFFFF = invalid — a single cache-line touch per lookup (the
+// separate sym/len arrays cost two)
 struct Vlc {
   int max_bits;
-  int16_t* sym;
-  int8_t* len;
+  int32_t* ent;
 };
 
 static Vlc vlc_sf;
@@ -64,25 +92,23 @@ static void build_vlc(Vlc* v, const uint32_t* codes, const uint8_t* bits,
     if (bits[i] > mb) mb = bits[i];
   v->max_bits = mb;
   size_t size = (size_t)1 << mb;
-  v->sym = new int16_t[size];
-  v->len = new int8_t[size];
-  for (size_t i = 0; i < size; i++) v->sym[i] = -1;
+  v->ent = new int32_t[size];
+  for (size_t i = 0; i < size; i++) v->ent[i] = 0xFFFF;
   for (int i = 0; i < n; i++) {
     if (!bits[i]) continue;
     uint32_t lo = codes[i] << (mb - bits[i]);
     uint32_t hi = lo + (1u << (mb - bits[i]));
-    for (uint32_t c = lo; c < hi; c++) {
-      v->sym[c] = (int16_t)i;
-      v->len[c] = (int8_t)bits[i];
-    }
+    int32_t e = ((int32_t)bits[i] << 16) | i;
+    for (uint32_t c = lo; c < hi; c++) v->ent[c] = e;
   }
 }
 
 static inline int vlc_get(Bits* b, const Vlc& v) {
   uint32_t pre = showbits(*b, v.max_bits);
-  int s = v.sym[pre];
-  if (s < 0) return -1;
-  b->pos += v.len[pre];
+  int32_t e = v.ent[pre];
+  int s = e & 0xFFFF;
+  if (s == 0xFFFF) return -1;
+  b->pos += e >> 16;
   return s;
 }
 
@@ -91,23 +117,29 @@ static const int cb_dim[12] = {0, 4, 4, 4, 4, 2, 2, 2, 2, 2, 2, 2};
 static const int cb_lav[12] = {0, 1, 1, 2, 2, 4, 4, 7, 7, 12, 12, 16};
 static const int cb_signed[12] = {0, 1, 1, 0, 0, 1, 1, 0, 0, 0, 0, 0};
 
-// unpacked codeword value tuples, built at init
+// unpacked codeword value tuples + per-code nonzero counts, built at init
 static int8_t* cb_vals[12];
+static int8_t* cb_nz[12];
 
 static void build_codebooks() {
   for (int cb = 1; cb <= 11; cb++) {
     int dim = cb_dim[cb], lav = cb_lav[cb];
     int mod = cb_signed[cb] ? 2 * lav + 1 : lav + 1;
     int off = cb_signed[cb] ? lav : 0;
-    int n = 1;
-    for (int d = 0; d < dim; d++) n *= mod;
+    size_t n = 1;
+    for (int d = 0; d < dim; d++) n *= (size_t)mod;
     cb_vals[cb] = new int8_t[n * dim];
-    for (int idx = 0; idx < n; idx++) {
-      int v = idx;
+    cb_nz[cb] = new int8_t[n];
+    for (size_t idx = 0; idx < n; idx++) {
+      size_t v = idx;
+      int nz = 0;
       for (int d = dim - 1; d >= 0; d--) {
-        cb_vals[cb][idx * dim + d] = (int8_t)(v % mod - off);
+        int8_t val = (int8_t)((int)(v % mod) - off);
+        cb_vals[cb][idx * dim + d] = val;
+        nz += val != 0;
         v /= mod;
       }
+      cb_nz[cb][idx] = (int8_t)nz;
     }
   }
 }
@@ -325,16 +357,24 @@ static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
       } else {
         const Vlc& v = vlc_spec[bt];
         const int8_t* vals = cb_vals[bt];
+        const int8_t* nzs = cb_nz[bt];
         int dim = cb_dim[bt];
         int sgn = cb_signed[bt];
         float s = ch->sf[idx];
         for (int grp = 0; grp < g_len; grp++) {
           float* cf = gbase + grp * 128 + off;
           for (int k = 0; k < off_len; k += dim) {
-            int code = vlc_get(b, v);
-            if (code < 0) return -1;
+            // one 64-bit window serves the code AND its sign bits
+            // (max_bits <= 19 plus <= 4 signs, well under the 57 valid)
+            uint64_t w = peek64(*b);
+            uint32_t pre = (uint32_t)(w >> (64 - v.max_bits));
+            int32_t e = v.ent[pre];
+            int code = e & 0xFFFF;
+            if (code == 0xFFFF) return -1;
+            int clen = e >> 16;
             const int8_t* tv = vals + code * dim;
             if (sgn) {
+              b->pos += clen;
               for (int d = 0; d < dim; d++) {
                 int av = tv[d] < 0 ? -tv[d] : tv[d];
                 float mag = ht_cbrt[av];
@@ -342,15 +382,18 @@ static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
               }
             } else {
               // sign bits for nonzero values first (aacdec.c:1085-1174)
-              int neg[4];
-              for (int d = 0; d < dim; d++)
-                neg[d] = tv[d] ? (int)getbit(b) : 0;
+              int nz = nzs[code];
+              uint32_t sbits =
+                  nz ? (uint32_t)((w << clen) >> (64 - nz)) : 0;
+              b->pos += clen + nz;
+              int bit = nz;
               for (int d = 0; d < dim; d++) {
                 int vv = tv[d];
                 if (!vv) {
                   cf[k + d] = 0.f;
                   continue;
                 }
+                bit--;
                 if (bt == 11 && vv == 16) {  // escape
                   int n = 0;
                   while (getbit(b)) n++;
@@ -359,7 +402,7 @@ static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
                   vv = (1 << n) + (int)getbits(b, n);
                 }
                 float mag = ht_cbrt[vv];
-                cf[k + d] = (neg[d] ? -mag : mag) * s;
+                cf[k + d] = (((sbits >> bit) & 1) ? -mag : mag) * s;
               }
             }
           }
@@ -505,7 +548,12 @@ int ht_parse_sce(const uint8_t* buf, int64_t nbits, int64_t* pos,
                  uint32_t* rng_state, int apply_tns_now) {
   Bits b{buf, nbits, *pos};
   Chan ch;
-  memset(&ch, 0, sizeof(ch));
+  // parse_ics fills every field it later reads; only the band maps need
+  // zeroing (apply_pulses may walk past max_sfb) — a full Chan memset is
+  // ~10 KB/frame of the TNS coef array alone
+  memset(&ch.ics, 0, sizeof(ch.ics));
+  memset(ch.band_type, 0, sizeof(ch.band_type));
+  memset(ch.sf, 0, sizeof(ch.sf));
   int r = parse_ics(&b, &ch, sampling_index, 0, coeffs, rng_state);
   if (r) return r;
   if (ch.tns.present && apply_tns_now) apply_tns(coeffs, &ch);
@@ -521,8 +569,13 @@ int ht_parse_cpe(const uint8_t* buf, int64_t nbits, int64_t* pos,
                  int apply_tns_now) {
   Bits b{buf, nbits, *pos};
   Chan ch0, ch1;
-  memset(&ch0, 0, sizeof(ch0));
-  memset(&ch1, 0, sizeof(ch1));
+  // targeted zeroing (see ht_parse_sce): skip the 10 KB full-struct memset
+  memset(&ch0.ics, 0, sizeof(ch0.ics));
+  memset(ch0.band_type, 0, sizeof(ch0.band_type));
+  memset(ch0.sf, 0, sizeof(ch0.sf));
+  memset(&ch1.ics, 0, sizeof(ch1.ics));
+  memset(ch1.band_type, 0, sizeof(ch1.band_type));
+  memset(ch1.sf, 0, sizeof(ch1.sf));
   uint8_t ms_mask[128];
   memset(ms_mask, 0, sizeof(ms_mask));
   int ms_present = 0;
