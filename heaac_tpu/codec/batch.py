@@ -402,6 +402,179 @@ class StreamBatchDecoder:
 
 
 # ---------------------------------------------------------------------------
+# Pipelined end-to-end decode: host parse of group g+1 overlaps device
+# decode of group g (SURVEY.md §2.5 host<->device pipelining)
+# ---------------------------------------------------------------------------
+def _silence_record() -> np.ndarray:
+    """The packed wire record of a silence lane ([REC_W] f32)."""
+    sc = compact_plan.zeros_compact()
+    pc = compact_plan.zeros_ps_compact()
+    meta = np.zeros((1, 1, 8), np.int32)
+    return compact_plan.pack_records(
+        meta, {k: v[None, None] for k, v in sc.items()},
+        {k: v[None, None] for k, v in pc.items()})[0, 0]
+
+
+def _make_packed_scan_decoder(is34: int = 0, downsampled: int = 0):
+    """jit of: scan the fused frame graph over T frames with the plan
+    sequences shipped as XOR-whitened packed f32 wire records
+    [T, L, REC_W] (codec/compact_plan.py) — f32 is the only dtype with a
+    fast path on the axon host->device tunnel, and whitening keeps the
+    payload on that path (see compact_plan.whiten_masks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .heaac_graph import heaac_frame_compact
+
+    def body(state, frame):
+        coeffs_w, rec_w, mask_c, mask_r = frame
+        coeffs, rec = compact_plan.unwhiten_jax(coeffs_w, rec_w,
+                                                mask_c, mask_r)
+        meta, sc, pc = compact_plan.unpack_records_jax(rec)
+        core = dict(coeffs=coeffs, **meta)
+        pcm, state = heaac_frame_compact(core, sc, pc, state, is34,
+                                         downsampled)
+        pcm16 = jnp.clip(jnp.rint(pcm), -32768, 32767).astype(jnp.int16)
+        return state, pcm16
+
+    @jax.jit
+    def run(coeffs_seq, rec_seq, mask_c, mask_r, state):
+        state, pcm = jax.lax.scan(body, state,
+                                  (coeffs_seq, rec_seq, mask_c, mask_r))
+        return state, pcm
+
+    return run
+
+
+class PipelinedStreamBatchDecoder:
+    """End-to-end batched decode where the host parses stream group g+1
+    while the device decodes group g.
+
+    The native parser writes each stream's lanes straight into the
+    preallocated [T, L, ...] group tensors (strided C entry, zero-copy
+    assembly); each finished group is device_put and its whole-stream
+    scan dispatched asynchronously, so wall time approaches
+    max(host parse, device decode) instead of their sum.  Streams must
+    share one decode profile (rate / channel config / PS band mode) —
+    heterogeneous inputs go through decode_batch's bucketing first."""
+
+    def __init__(self, streams, group_streams: int = 256,
+                 max_frames: int | None = None):
+        self.streams = [bytes(s) for s in streams]
+        hdr = parse_adts_header(BitReader(self.streams[0][:7]))
+        self.hdr = hdr
+        self.nl = hdr.chan_config  # 1 -> SCE lane, 2 -> CPE lanes
+        self.G = min(group_streams, len(self.streams))
+        # discover frame count + SBR/PS mode from the first stream
+        first = parse_stream_plans(self.streams[0], max_frames=max_frames,
+                                   compact=True)
+        self.T = (len(first[0]["coeffs"]) if max_frames is None
+                  else max_frames)
+        self.sample_rate = first[3]
+        self.is34 = first[5]
+        self.ds = first[6]
+        self.run_fn = _make_packed_scan_decoder(self.is34, self.ds)
+        self.frame_counts: list = []
+        L = self.G * self.nl
+        # XOR-whitening masks (see compact_plan.whiten_masks); uploaded to
+        # the device once — random data rides the tunnel's fast path
+        self._mask_c, self._mask_r = compact_plan.whiten_masks(self.T, L)
+        self._dev_masks = None
+        # whitened silence record per (frame, lane) position, for buffer
+        # prefill and tail resets
+        sil = _silence_record().view(np.uint32)
+        self._wh_sil = (self._mask_r ^ sil).view(np.float32)
+        # double-buffered host staging: set s is reused for group g only
+        # after group g-2 (which read from it) finished on device
+        self._bufsets = [None, None]
+
+    def _parse_group(self, group: list, bufset: int):
+        from .. import native
+        L = self.G * self.nl
+        if self._bufsets[bufset] is None:
+            coeffs = self._mask_c.copy().view(np.float32)   # whitened zeros
+            rec = self._wh_sil.copy()
+            self._bufsets[bufset] = (coeffs, rec)
+        coeffs, rec = self._bufsets[bufset]
+        native_ok = native.available()
+
+        def reset_tail(sl, r):
+            """Reused buffers: frames [r:T] of these lanes hold stale data
+            from an earlier group -> restore (whitened) silence."""
+            if r < self.T:
+                coeffs.view(np.uint32)[r:, sl] = self._mask_c[r:, sl]
+                rec[r:, sl] = self._wh_sil[r:, sl]
+
+        for gi, data in enumerate(group):
+            r = None
+            if native_ok:
+                r = native.parse_he_stream_packed_into(
+                    data, self.hdr.sampling_index, self.hdr.sample_rate,
+                    self.hdr.chan_config, coeffs, rec, gi * self.nl,
+                    self.T, self._mask_c, self._mask_r)
+            if r is not None:
+                self.frame_counts.append(r[0])
+                reset_tail(slice(gi * self.nl, (gi + 1) * self.nl), r[0])
+                continue
+            # Python planner fallback (PCE/CCE/Main/...): pack into slices
+            from ..utils.metrics import log
+            log.info("pipelined decode: stream %d fell back to the Python "
+                     "planner", gi)
+            core, sbr, ps, _, nl, _, _ = parse_stream_plans(
+                data, max_frames=self.T, compact=True)
+            r0 = len(core["coeffs"])
+            self.frame_counts.append(r0)
+            sl = slice(gi * self.nl, gi * self.nl + nl)
+            coeffs.view(np.uint32)[:r0, sl] = (
+                core["coeffs"].view(np.uint32) ^ self._mask_c[:r0, sl])
+            meta = np.zeros((r0, nl, 8), np.int32)
+            for j, k in enumerate(("ws", "wsp", "kbd", "kbdp")):
+                meta[:, :, j] = core[k]
+            packed = compact_plan.pack_records(meta, sbr, ps)
+            rec.view(np.uint32)[:r0, sl] = (
+                packed.view(np.uint32) ^ self._mask_r[:r0, sl])
+            reset_tail(sl, r0)
+        return coeffs, rec
+
+    def decode(self):
+        """Parse + upload + decode all streams, pipelined by group.
+
+        Returns a list of device pcm arrays [T, G*nl, 2, 2048] (one per
+        group, in order); blocks until the last group is done."""
+        import jax
+        outs = []
+        n = len(self.streams)
+        self.frame_counts = []
+        for gidx, g0 in enumerate(range(0, n, self.G)):
+            group = self.streams[g0:g0 + self.G]
+            if len(group) < self.G:  # pad the tail group to the jit shape
+                group = group + self.streams[:self.G - len(group)]
+            if gidx >= 2:
+                # buffer set gidx%2 was read by group gidx-2: wait for that
+                # group's decode before overwriting the staging arrays
+                jax.block_until_ready(outs[gidx - 2])
+            coeffs, rec = self._parse_group(group, gidx % 2)
+            if self._dev_masks is None:
+                self._dev_masks = (jax.device_put(self._mask_c),
+                                   jax.device_put(self._mask_r))
+            state = init_compact_state(self.G * self.nl)
+            # two fast-path f32 transfers + async dispatch: the scan runs
+            # while the next group parses on host
+            _, pcm = self.run_fn(jax.device_put(coeffs),
+                                 jax.device_put(rec),
+                                 *self._dev_masks, state)
+            outs.append(pcm)
+        jax.block_until_ready(outs[-1])
+        self.frame_counts = self.frame_counts[:n]
+        return outs
+
+    def audio_seconds(self) -> float:
+        rate = self.sample_rate
+        spf = 1024 << (not self.ds)
+        return sum(fc * spf / rate for fc in self.frame_counts)
+
+
+# ---------------------------------------------------------------------------
 # Batched AAC-LC decode (no SBR): core graph scanned over frames
 # ---------------------------------------------------------------------------
 class LcPlanningDecoder(Decoder):

@@ -73,6 +73,103 @@ PB_IPD = 340                # [5,17]
 PB_OPD = 425                # [5,17]
 PC_B_N = 510
 
+# ---- packed wire record ---------------------------------------------------
+# The axon host->device tunnel only has a fast path for float32 transfers
+# (~1.3 GB/s vs ~25-50 MB/s for int8/int32, measured 2026-08-16; raw f32
+# bit patterns round-trip exactly).  The whole per-frame-lane plan is
+# therefore shipped as ONE f32-viewed buffer and bitcast-sliced back on
+# device.  Layout in f32 words:
+#   [WF_SCF  : +SC_F_N)  sc_f (f32, as-is)
+#   [WI_SCI  : +SC_I_N)  sc_i (i32 bit patterns)
+#   [WI_PCI  : +PC_I_N)  pc_i
+#   [WI_META : +8)       core meta (ws, wsp, kbd, kbdp, tns, err, 0, 0)
+#   [WB_BYTES: +248)     sc_b [480] ++ pc_b [510] ++ 2 pad bytes (int8)
+WF_SCF = 0
+WI_SCI = WF_SCF + SC_F_N           # 587
+WI_PCI = WI_SCI + SC_I_N           # 611
+WI_META = WI_PCI + PC_I_N          # 627
+WB_BYTES = WI_META + 8             # 635
+REC_W = WB_BYTES + (SC_B_N + PC_B_N + 3) // 4   # 883 f32 words
+REC_BYTES = REC_W * 4                           # 3532
+
+
+def pack_records(core_meta, sc: dict, pc: dict) -> np.ndarray:
+    """Host-side packing of [T, L, ...] compact leaves into the f32 wire
+    record [T, L, REC_W] (the Python analogue of the native packed sink;
+    used by fallback streams and tests)."""
+    T, L = sc["sc_i"].shape[:2]
+    rec = np.zeros((T, L, REC_BYTES), np.uint8)
+    f32v = rec.view(np.float32).reshape(T, L, REC_W)
+    i32v = rec.view(np.int32).reshape(T, L, REC_W)
+    f32v[:, :, WF_SCF:WF_SCF + SC_F_N] = sc["sc_f"]
+    i32v[:, :, WI_SCI:WI_SCI + SC_I_N] = sc["sc_i"]
+    i32v[:, :, WI_PCI:WI_PCI + PC_I_N] = pc["pc_i"]
+    i32v[:, :, WI_META:WI_META + 8] = core_meta
+    b0 = WB_BYTES * 4
+    rec[:, :, b0:b0 + SC_B_N] = sc["sc_b"].view(np.uint8)
+    rec[:, :, b0 + SC_B_N:b0 + SC_B_N + PC_B_N] = pc["pc_b"].view(np.uint8)
+    return f32v
+
+
+WHITEN_SEED = 0xC0FFEE
+
+
+def whiten_masks(T: int, L: int):
+    """Per-position pseudorandom XOR masks for the coeffs/record payloads.
+
+    The axon host->device tunnel compresses compressible payloads on a
+    ~35 MB/s CPU-bound path while shipping incompressible data raw at
+    ~1.4 GB/s (measured 2026-08-16; an all-zero f32 buffer transfers 40x
+    slower than random data).  XORing every word with a fixed random mask
+    on host (done cache-hot by the native parser) and un-XORing on device
+    is bijective and bit-exact, and forces the fast raw path for every
+    payload.  Masks are deterministic in (seed, shape)."""
+    rng = np.random.default_rng(WHITEN_SEED)
+    return (rng.integers(0, 2**32, size=(T, L, 1024), dtype=np.uint32),
+            rng.integers(0, 2**32, size=(T, L, REC_W), dtype=np.uint32))
+
+
+def unwhiten_jax(coeffs_w, rec_w, mask_c, mask_r):
+    """Device-side un-XOR: whitened f32 payloads + u32 masks -> raw f32."""
+    import jax
+    import jax.numpy as jnp
+
+    bc = jax.lax.bitcast_convert_type
+    coeffs = bc(bc(coeffs_w, jnp.uint32) ^ mask_c, jnp.float32)
+    rec = bc(bc(rec_w, jnp.uint32) ^ mask_r, jnp.float32)
+    return coeffs, rec
+
+
+def unpack_records_jax(rec):
+    """Device-side record unpacking: rec [B, REC_W] f32 ->
+    (core meta dict, sc dict, pc dict) matching the unpacked wire arrays.
+    Pure bitcasts + static slices; fuses into the expansion graph."""
+    import jax
+    import jax.numpy as jnp
+
+    B = rec.shape[0]
+    i32 = jax.lax.bitcast_convert_type(rec, jnp.int32)
+    sc_f = rec[:, WF_SCF:WF_SCF + SC_F_N]
+    sc_i = i32[:, WI_SCI:WI_SCI + SC_I_N]
+    pc_i = i32[:, WI_PCI:WI_PCI + PC_I_N]
+    meta = i32[:, WI_META:WI_META + 8]
+    bytes_u8 = jax.lax.bitcast_convert_type(
+        rec[:, WB_BYTES:REC_W], jnp.uint8).reshape(B, -1)
+    sc_b = jax.lax.bitcast_convert_type(bytes_u8[:, :SC_B_N], jnp.int8)
+    pc_b = jax.lax.bitcast_convert_type(
+        bytes_u8[:, SC_B_N:SC_B_N + PC_B_N], jnp.int8)
+    core_meta = dict(ws=meta[:, 0], wsp=meta[:, 1], kbd=meta[:, 2],
+                     kbdp=meta[:, 3])
+    # barrier: without it XLA fuses the bitcast slicing into downstream
+    # arithmetic, perturbing contraction/vectorization choices by ±1 ULP
+    # vs the unpacked-input graph; with it the unpacked tensors behave
+    # like real parameters and the decode is bit-identical to the
+    # compact-dict path
+    core_meta, sc, pc = jax.lax.optimization_barrier(
+        (core_meta, dict(sc_i=sc_i, sc_b=sc_b, sc_f=sc_f),
+         dict(pc_i=pc_i, pc_b=pc_b)))
+    return core_meta, sc, pc
+
 
 def zeros_compact():
     """Silence-lane compact plan (parses to frame_plan._zeros_plan())."""

@@ -63,6 +63,17 @@ def lib():
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, f32p, i32p, i32p, i8p, f32p, i32p, i8p,
         ctypes.c_int, i32p]
+    L.hh_parse_he_stream_compact_strided.restype = ctypes.c_int
+    L.hh_parse_he_stream_compact_strided.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, f32p, i32p, i32p, i8p, f32p, i32p, i8p,
+        ctypes.c_int, ctypes.c_int64, ctypes.c_int64, i32p]
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    L.hh_parse_he_stream_packed.restype = ctypes.c_int
+    L.hh_parse_he_stream_packed.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, f32p, f32p, ctypes.c_int, ctypes.c_int64,
+        ctypes.c_int64, u32p, u32p, i32p]
     L.ht_init()
     _lib = L
     return L
@@ -230,6 +241,69 @@ def parse_he_stream_compact(data: bytes, sampling_index: int,
     ps = dict(pc_i=pci[:r], pc_b=pcb[:r])
     return core, sbr, ps, dict(lanes=int(info[0]), sbr=int(info[1]),
                                is34=int(info[2]), err_frames=int(info[3]))
+
+
+def parse_he_stream_compact_into(data: bytes, sampling_index: int,
+                                 core_rate: int, chan_config: int,
+                                 bufs: dict, lane0: int,
+                                 max_frames: int):
+    """Strided native HE parse: writes a stream's lanes straight into the
+    preallocated [T, L_total, ...] batch tensors in ``bufs`` at lane
+    offset ``lane0`` (zero-copy batch assembly).  ``bufs`` keys: coeffs,
+    meta, sc_i, sc_b, sc_f, pc_i, pc_b.  Returns (n_frames, info dict) or
+    None when the stream needs the Python fallback."""
+    import ctypes as C
+    L = lib()
+    info = np.zeros(4, np.int32)
+    f32p = C.POINTER(C.c_float)
+    i32p = C.POINTER(C.c_int32)
+    i8p = C.POINTER(C.c_int8)
+    stride = bufs["coeffs"].shape[1]
+    r = L.hh_parse_he_stream_compact_strided(
+        data, len(data), sampling_index, core_rate, chan_config,
+        bufs["coeffs"].ctypes.data_as(f32p),
+        bufs["meta"].ctypes.data_as(i32p),
+        bufs["sc_i"].ctypes.data_as(i32p),
+        bufs["sc_b"].ctypes.data_as(i8p),
+        bufs["sc_f"].ctypes.data_as(f32p),
+        bufs["pc_i"].ctypes.data_as(i32p),
+        bufs["pc_b"].ctypes.data_as(i8p),
+        max_frames, stride, lane0, info.ctypes.data_as(i32p))
+    if r < 0:
+        return None
+    return r, dict(lanes=int(info[0]), sbr=int(info[1]),
+                   is34=int(info[2]), err_frames=int(info[3]))
+
+
+def parse_he_stream_packed_into(data: bytes, sampling_index: int,
+                                core_rate: int, chan_config: int,
+                                coeffs: np.ndarray, rec: np.ndarray,
+                                lane0: int, max_frames: int,
+                                coeffs_mask: np.ndarray | None = None,
+                                rec_mask: np.ndarray | None = None):
+    """Strided native HE parse into the packed f32 wire record
+    (codec/compact_plan.py REC layout): coeffs [T, L, 1024] f32 and
+    rec [T, L, REC_W] f32 preallocated batch tensors.  With masks given,
+    the parser XOR-whitens the emitted words cache-hot (see
+    compact_plan.whiten_masks).  Returns (n_frames, info dict) or None
+    for Python-fallback streams."""
+    import ctypes as C
+    L = lib()
+    info = np.zeros(4, np.int32)
+    f32p = C.POINTER(C.c_float)
+    i32p = C.POINTER(C.c_int32)
+    u32p = C.POINTER(C.c_uint32)
+    mp = lambda m: (m.ctypes.data_as(u32p) if m is not None
+                    else C.cast(None, u32p))
+    r = L.hh_parse_he_stream_packed(
+        data, len(data), sampling_index, core_rate, chan_config,
+        coeffs.ctypes.data_as(f32p), rec.ctypes.data_as(f32p),
+        max_frames, coeffs.shape[1], lane0, mp(coeffs_mask), mp(rec_mask),
+        info.ctypes.data_as(i32p))
+    if r < 0:
+        return None
+    return r, dict(lanes=int(info[0]), sbr=int(info[1]),
+                   is34=int(info[2]), err_frames=int(info[3]))
 
 
 def parse_he_stream(data: bytes, sampling_index: int, core_rate: int,

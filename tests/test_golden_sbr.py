@@ -99,6 +99,61 @@ def test_sbr_stereo_exact(name, kw, ref_harness):
 
 
 @pytest.mark.golden
+@pytest.mark.parametrize("sr,br", [(16000, 24000), (22050, 32000),
+                                   (32000, 48000)])
+def test_sbr_other_core_rates(sr, br, ref_harness):
+    """Freq-table derivation regimes other than 24 kHz: sbr_make_f_master
+    branches on <32k / 32-64k sample-rate bands (aacsbr.c:304-489) and the
+    22.05 kHz path exercises the non-integer-kHz rate index."""
+    core = make_core(ref_harness, f"sbr_core_m{sr}", sr, 1, br, 12)
+    rate, max_lsb, _ = run_config(ref_harness, core, f"sbr_rate{sr}", False,
+                                  sr, seed=5, invf_modes=(0,))
+    assert rate == 2 * sr
+    assert max_lsb <= 2, f"max LSB {max_lsb}"
+
+
+@pytest.mark.golden
+@pytest.mark.parametrize("sr,br", [(16000, 24000), (32000, 48000)])
+def test_sbr_other_core_rates_batched(sr, br, ref_harness):
+    """The batched device graph (native parse + compact plans) matches the
+    reference at non-24 kHz core rates too."""
+    from heaac_tpu.codec.batch import StreamBatchDecoder
+    from heaac_tpu.io.heaac_testgen import SbrStreamWriter, splice_sbr_into_lc
+
+    core = make_core(ref_harness, f"sbr_core_m{sr}", sr, 1, br, 12)
+    w = SbrStreamWriter(core_rate=sr, is_cpe=False, env_hi_shift=-12,
+                        seed=5, invf_modes=(0,))
+    he = splice_sbr_into_lc(core, w)
+    path = STREAMS / f"sbr_rate{sr}_batch.heaac"
+    path.write_bytes(he)
+    gold_path = STREAMS / f"sbr_rate{sr}_batch.gold"
+    subprocess.run([ref_harness["decode"], str(path), str(gold_path)],
+                   check=True, capture_output=True)
+    gold = np.fromfile(gold_path, np.int16).reshape(-1, 2)
+    bd = StreamBatchDecoder([he])
+    pcm = np.asarray(bd.decode())         # [T, 1, 2, 2048]
+    out = pcm[:, 0].transpose(0, 2, 1).reshape(-1, 2)
+    n = min(len(out), len(gold))
+    d = np.abs(out[:n].astype(int) - gold[:n].astype(int)).max()
+    assert d <= 2, f"max LSB {d}"
+
+
+@pytest.mark.golden
+def test_ps_with_inverse_filtering(ref_harness):
+    """PS + active inverse filtering combined (VERDICT round-1 weak #5):
+    RMS-gated like the mono invf test (chaotic covariance solve)."""
+    from heaac_tpu.io.heaac_testgen import PsStreamWriter
+
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 15)
+    psw = PsStreamWriter(seed=12, iid_mode=1, icc_mode=4,
+                         enable_ipdopd=True)
+    _, max_lsb, rel_rms = run_config(ref_harness, core, "ps_invf", False,
+                                     24000, seed=21, ps_writer=psw)
+    assert max_lsb <= 32, f"max LSB {max_lsb}"
+    assert rel_rms < 1e-3, f"rel RMS {rel_rms}"
+
+
+@pytest.mark.golden
 def test_sbr_with_inverse_filtering(ref_harness):
     core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 15)
     _, max_lsb, rel_rms = run_config(ref_harness, core, "sbr_invf", False,
