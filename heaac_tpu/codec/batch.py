@@ -277,6 +277,165 @@ class BatchDecoder:
 
 
 # ---------------------------------------------------------------------------
+# Quantized wire format (codec/qwire.py): Python-planner emitters
+# ---------------------------------------------------------------------------
+class QwirePlanningDecoder(Decoder):
+    """Parses a stream into qwire frame-lane payloads (codec/qwire.py).
+
+    The Python planner has only the final float coefficients, so spectra are
+    shipped as raw-f32 tokens (exact, ~5x fatter than the native emitter's
+    integer tokens); SBR/PS side-info ships as integer codes with host
+    dequantization skipped — the device performs sbr_dequant/mapping/chirp."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.frames_q = []   # per frame: list of per-lane (payload, rec)
+        self.ps_is34 = None
+        self.downsampled = 0
+        self._hdr_sent = set()
+
+    def _spectral_to_sample(self, present):
+        from ..bitstream.sbr_syntax import SBRContext
+        from . import qwire
+        m = self.m4ac
+        _host_couple_and_tns(self)
+        lanes_out = []
+        for lane in self.lanes:
+            key = (lane.elem_type, lane.elem_id)
+            el = self.elements[key]
+            is_ps = (lane.elem_type == T.TYPE_SCE and m.ps == 1)
+            if is_ps and lane.ch == 1:
+                continue
+            cd = el.cur[lane.ch]
+            meta = dict(ws=int(cd.ics.window_sequence),
+                        kbd=int(cd.ics.use_kb_window))
+            toks, ext = qwire.emit_coeff_tokens(cd.coeffs)
+            sbr = None
+            header = b""
+            if m.sbr == 1:
+                if el.sbr is None:
+                    el.sbr = SBRContext()
+                if not el.sbr.sample_rate:
+                    el.sbr.sample_rate = 2 * m.sample_rate
+                if not m.ext_sample_rate:
+                    m.ext_sample_rate = 2 * m.sample_rate
+                self.downsampled = int(m.ext_sample_rate <= m.sample_rate)
+                sbr = el.sbr
+                if sbr.ps is not None and sbr.ps.start:
+                    cur34 = int(sbr.ps.is34bands)
+                    if self.ps_is34 is None:
+                        self.ps_is34 = cur34
+                    elif self.ps_is34 != cur34:
+                        raise NotImplementedError(
+                            "PS band mode changes mid-stream")
+                hkey = (key, lane.ch)
+                if sbr.start and (sbr.reset or hkey not in self._hdr_sent):
+                    header = qwire.build_header(sbr)
+                    self._hdr_sent.add(hkey)
+            side = qwire.build_side(sbr, lane.ch, lane.elem_type,
+                                    core_meta=meta,
+                                    is34=self.ps_is34 or 0)
+            lanes_out.append(qwire.assemble_lane(toks, ext, side, header))
+        self.frames_q.append(lanes_out)
+        self.sample_rate = m.sample_rate << (
+            (m.ext_sample_rate > m.sample_rate) if m.sbr == 1 else 0)
+        return np.zeros((0, 1), np.int16)
+
+
+def parse_stream_qwire(data: bytes, asc: bytes | None = None,
+                       max_frames: int | None = None):
+    """One ADTS stream -> (frames list of per-lane (payload, rec), rate,
+    n_lanes, is34, downsampled) in the qwire format, with per-frame error
+    isolation (corrupt frame -> silence lanes, count stays aligned)."""
+    from ..bitstream.reader import BitstreamError
+    from . import qwire
+
+    frames = split_adts_stream(data)
+    if max_frames is not None:
+        frames = frames[:max_frames]
+    if asc is not None:
+        dec = QwirePlanningDecoder(asc=asc)
+        frames = [f[9 - (f[1] & 1) * 2:] for f in frames]
+    else:
+        dec = QwirePlanningDecoder(adts_probe=frames[0][:7])
+    for f in frames:
+        n_before = len(dec.frames_q)
+        try:
+            dec.decode_frame(f)
+        except BitstreamError:
+            dec.error_count += 1
+            if len(dec.frames_q) == n_before:
+                if dec.frames_q:
+                    nl_ = len(dec.frames_q[0])
+                elif dec.lanes:
+                    nl_ = sum(1 for ln in dec.lanes
+                              if not (ln.elem_type == T.TYPE_SCE
+                                      and ln.ch == 1))
+                else:
+                    nl_ = 1
+                sil = qwire.silence_lane()
+                dec.frames_q.append([sil for _ in range(nl_)])
+    if not dec.frames_q:
+        raise BitstreamError("no decodable frames in stream")
+    return (dec.frames_q, dec.sample_rate, len(dec.frames_q[0]),
+            dec.ps_is34 or 0, dec.downsampled)
+
+
+class QStreamBatchDecoder:
+    """Whole-stream batched decode over the quantized wire format.
+
+    Streams' frame-lane payloads are packed into one byte heap per batch;
+    records index into it.  decode() uploads heap + records (both f32-viewed
+    fast-path arrays) and runs the single-jit token-decode + frame-scan."""
+
+    def __init__(self, streams, batch: int | None = None,
+                 max_frames: int | None = None):
+        from . import qwire
+        parsed = [parse_stream_qwire(s, max_frames=max_frames)
+                  for s in streams]
+        rate, nl, is34, ds = parsed[0][1:5]
+        self.sample_rate, self.nl = rate, nl
+        self.is34, self.ds = is34, ds
+        self.T = min(len(p[0]) for p in parsed)
+        B = batch or len(parsed)
+        L = B * nl
+        heap = bytearray()
+        recs = np.zeros((self.T, L, qwire.REC_W), np.int32)
+        sil_payload, sil_rec = qwire.silence_lane()
+        sil_rec = sil_rec.copy()
+        sil_rec[qwire.R_TOKOFF] = len(heap)
+        heap += sil_payload
+        for b in range(B):
+            fr = parsed[b % len(parsed)][0]
+            for t in range(self.T):
+                for ln, (payload, rec) in enumerate(fr[t]):
+                    r = rec.copy()
+                    r[qwire.R_TOKOFF] = len(heap)
+                    heap += payload
+                    recs[t, b * nl + ln] = r
+        if len(heap) % 4:
+            heap += b"\0" * (4 - len(heap) % 4)
+        self.S = max(64, int(recs[:, :, qwire.R_NTOK].max()))
+        self.S = -(-self.S // 64) * 64
+        self.heap_w = np.frombuffer(bytes(heap), np.float32)
+        self.rec_w = recs.view(np.float32)
+        self.L = L
+
+    def decode(self):
+        import jax
+
+        from .heaac_graph import init_qwire_carry, qwire_scan_decoder
+        run = qwire_scan_decoder(self.is34, self.ds, self.S)
+        carry = init_qwire_carry(self.L)
+        _, pcm = run(jax.device_put(self.heap_w),
+                     jax.device_put(self.rec_w), carry)
+        return pcm
+
+    def audio_seconds(self) -> float:
+        return self.L * self.T * (1024 << (not self.ds)) / self.sample_rate
+
+
+# ---------------------------------------------------------------------------
 # Device-resident stream decode: one scan over all frames
 # ---------------------------------------------------------------------------
 def _make_scan_decoder(is34: int = 0, downsampled: int = 0,

@@ -150,3 +150,60 @@ def heaac_frame_compact(core, sc, pc, carry, is34: int = 0,
 def jitted_heaac_frame_compact():
     return jax.jit(heaac_frame_compact, donate_argnums=(3,),
                    static_argnums=(4, 5))
+
+
+# ---------------------------------------------------------------------------
+# Quantized-wire variant (codec/qwire.py): ~0.3-0.5 KB/frame-lane on the
+# wire; token decode, dequant LUTs, sbr_dequant/mapping/chirp all on device.
+# ---------------------------------------------------------------------------
+def init_qwire_carry(B: int):
+    from . import compact_plan, qwire
+    return (init_state(B), compact_plan.init_ps_hist(B),
+            qwire.init_qcarry(B))
+
+
+def heaac_frame_qwire(coeffs, rec, heap, carry, is34: int = 0,
+                      downsampled: int = 0):
+    """One frame for B lanes from the quantized wire format: rec [B,8] i32
+    records + shared heap (byte values as i32); coeffs already token-decoded
+    [B,1024].  carry = (HeaacState, ps_hist, qwire carry)."""
+    from . import compact_plan, qwire
+    state, ph, qc = carry
+    with jax.named_scope("expand_qwire"):
+        core_meta, plan, pc, qc2 = qwire.expand_frame_jax(heap, rec, qc,
+                                                          is34)
+        ps_plan, ph2 = compact_plan.expand_ps(pc, ph, is34)
+    core = dict(coeffs=coeffs, **core_meta)
+    pcm, state2 = heaac_frame(core, plan, ps_plan, state, is34, downsampled)
+    return pcm, (state2, ph2, qc2)
+
+
+@functools.cache
+def qwire_scan_decoder(is34: int, downsampled: int, S: int):
+    """jit of: token-decode all frames' coeffs in one parallel pass, then
+    scan the fused frame graph over T frames.  heap_w is the f32-viewed
+    packed byte heap; rec_seq [T, L, 8] i32 bit patterns as f32."""
+    from . import qwire
+
+    def run(heap_w, rec_w, carry):
+        heap = jax.lax.bitcast_convert_type(heap_w, jnp.uint8)\
+            .reshape(-1).astype(jnp.int32)
+        rec_seq = jax.lax.bitcast_convert_type(rec_w, jnp.int32)
+        T, L = rec_seq.shape[:2]
+        flat = rec_seq.reshape(T * L, qwire.REC_W)
+        with jax.named_scope("token_decode"):
+            coeffs = qwire.decode_coeffs_jax(
+                heap, flat[:, qwire.R_TOKOFF], flat[:, qwire.R_NTOK], S)
+            coeffs = coeffs.reshape(T, L, 1024)
+
+        def body(c, xs):
+            rec_t, coef_t = xs
+            pcm, c2 = heaac_frame_qwire(coef_t, rec_t, heap, c, is34,
+                                        downsampled)
+            pcm16 = jnp.clip(jnp.rint(pcm), -32768, 32767).astype(jnp.int16)
+            return c2, pcm16
+
+        carry, pcm = jax.lax.scan(body, carry, (rec_seq, coeffs))
+        return carry, pcm
+
+    return jax.jit(run, donate_argnums=(2,))

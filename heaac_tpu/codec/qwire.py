@@ -1,0 +1,878 @@
+"""Quantized wire format v2: near-bitstream-entropy plans, expanded on device.
+
+Motivation (measured 2026-08-16): the axon host->device tunnel sustains only
+~40-90 MB/s regardless of payload content or shape (a ~500 MB fresh-process
+burst rides at ~1.4 GB/s, after which every transfer is throttled).  The
+round-1 compact format (codec/compact_plan.py) ships 7.6 KB per frame-lane
+(4 KB dequantized f32 coeffs + 3.5 KB record) = 178 KB per audio-second:
+a hard ~225-500x realtime ceiling.  This format ships ~0.3-0.5 KB per
+frame-lane (~2x the raw AAC bitstream) by sending *quantized integers* and
+performing dequantization and plan expansion inside the jitted graph:
+
+  - Spectral coefficients travel as a byte-token stream (zero runs, packed
+    small values, escapes) plus the scalefactor *indices*; the device
+    rebuilds `(+-cbrt_tab[n]) * (+-pow2sf_tab[si])` with the extracted
+    reference LUTs -- bit-exact to the host's floats (aacdec.c:988-1216
+    does the same single multiply per value).  Positions that are not a
+    plain cbrt*sf product (TNS-filtered windows, M/S, intensity, PNS,
+    pulses) travel as raw f32 words.
+  - SBR side-info travels as the raw integer codes (envelope/noise factors,
+    invf modes, grid); the device performs sbr_dequant (aacsbr.c:1089) via
+    exp2 LUTs indexed by the codes, the envelope->band mapping
+    (aacsbr.c:1451) via gathers over the frequency-table band maps, and the
+    chirp recursion (aacsbr.c:1316) on carried state.
+  - Frequency tables and patch maps (static between SBR header resets,
+    sbr.h:80-107) travel once per reset in a header block carried on device
+    between frames.
+  - PS parameters travel as the mapped 8-bit indices at their true count.
+
+Token decode is fully parallel (no scan): every token is one byte whose
+*advance* is a function of the byte alone, so output positions are an
+exclusive cumsum, multi-byte payloads live in a separate extension stream
+indexed by a second cumsum, and each of the 1024 output bins finds its
+producing token by vectorized binary search over the cumsum.
+
+Wire layout per frame-lane (all in one u8 heap, f32-viewed for transfer):
+  [tokens ntok][ext n_ext][side side_len][header hdr_len (reset frames)]
+with an 8-word i32 record (tok_off, ntok, n_ext, side_len, hdr_len, ...).
+
+Token set (1 byte each):
+  0x00        END / padding
+  0x01-0x40   ZRUN(n=tok): advance n zeros
+  0x41-0x71   PAIR: c=tok-0x41, (v0,v1) = (c//7-3, c%7-3)
+  0x72-0x91   SINGLE: mag = 4 + (c & 15), sign = c>>4 (c=tok-0x72)
+  0x92        ESC1: ext i8 value
+  0x93        ESC2: ext i16 (LE) value
+  0x94        SETSF: ext u16 (LE): bits0-8 pow2sf index, bit15 positive
+  0x95-0x98   RAWRUN(n=tok-0x94): 4n ext bytes = n raw f32 (LE) values
+  0x99-0xE9   QUAD: c=tok-0x99, v_k = (c // 3**k) % 3 - 1
+  0xEA-0xFF   reserved (noop)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..tables import ps_tables as P
+from ..tables.aac_tables import cbrt_tab, pow2sf_tab
+
+# ---- token constants --------------------------------------------------------
+T_END = 0x00
+T_ZRUN0 = 0x01          # ZRUN n = tok (1..64)
+ZRUN_MAX = 64
+T_PAIR0 = 0x41          # 49 codes
+T_SGL0 = 0x72           # 32 codes, mag 4..19
+T_ESC1 = 0x92
+T_ESC2 = 0x93
+T_SETSF = 0x94
+T_RAW0 = 0x94           # RAWRUN n = tok - T_RAW0 (1..4)
+RAW_MAX = 4
+T_QUAD0 = 0x99          # 81 codes
+T_QUAD_END = 0xE9
+
+REC_W = 8               # i32 record words per frame-lane
+R_TOKOFF, R_NTOK, R_NEXT, R_SIDELEN, R_HDRLEN = range(5)
+
+# ---- side block -------------------------------------------------------------
+# fixed head (byte offsets), then variable payload
+SH_CORE = 0        # ws | kbd<<2 | err<<3
+SH_FLAGS = 1       # start | reset<<1 | ampres<<2 | coupled<<3 | pan<<4
+#                    | addharm<<5 | ps_on<<6
+SH_NE = 2
+SH_NNOISE = 3
+SH_FRBITS = 4      # freq_res bits for envelopes 1..5
+SH_TQSEL = 5       # per-envelope noise-row selector bits
+SH_TENV = 6        # 6..11: t_env[0..5] in slots
+SH_EA0 = 12        # e_a[0] + 1 (0 == none)
+SH_EA1 = 13
+SH_HSL = 14        # 0 or 4
+SH_SINE0 = 15
+SH_NOISE0 = 16     # u16 LE
+SH_KX0 = 18
+SH_KX1 = 19
+SH_M0 = 20
+SH_M1 = 21
+SH_TOLD2 = 22      # 2 * t_env_num_env_old
+SH_BW = 24         # 24..43: bw_array[5] f32 LE (host-computed chirp,
+#                    aacsbr.c:1316 — a 3-op f32 recursion that XLA insists
+#                    on contracting into fma, so it stays on host)
+SIDE_HEAD = 44
+# device gather window (wire cost is the actual block size; the worst case
+# is an SCE with 4-envelope 34-band PS incl. IPD/OPD at ~705 bytes)
+SIDE_MAX = 768
+
+# PS sub-block head (byte offsets within the PS section)
+PS_NENV = 0
+PS_FLAGS = 1       # ipdopd | quant<<1 | iccmode<<2
+PS_NIPD = 2
+PS_TOP = 3
+PS_BORD = 4        # 4..9: border_position[0..5] (i8)
+PS_HEAD = 10
+
+# ---- header block -----------------------------------------------------------
+H_N0, H_N1, H_NQ, H_NLIM, H_NPATCH, H_KX1, H_M1, H_FLAGS, H_LIMG = range(9)
+H_TAB = 9          # f_tablelow(n0+1) ++ f_tablehigh(n1+1) ++
+#                    f_tablenoise(nq+1) ++ f_tablelim(nlim+1) ++
+#                    patch_start(np) ++ patch_num(np)
+HDR_MAX = 112
+NB_HI = 24         # max high-res bands (f_tablehigh entries - 1)
+NB_LO = 13
+NB_Q = 5
+NB_LIM = 28
+NPATCH = 6
+
+E, M = 5, 48
+
+
+# =============================================================================
+# Host-side emitters (numpy reference; mirrored by native/he_host.inc)
+# =============================================================================
+def emit_coeff_tokens(coef: np.ndarray, q: np.ndarray | None = None,
+                      sfw: np.ndarray | None = None,
+                      raw: np.ndarray | None = None):
+    """Tokenize one 1024-coefficient lane -> (tokens u8, ext u8).
+
+    q[1024] i32: quantized values (sign included); sfw[1024] u16: per-bin
+    scalefactor word (bits0-8 pow2sf index, bit15 positive sign) valid where
+    q != 0; raw[1024] bool: ship coef bits verbatim.  With q/sfw None the
+    whole lane is shipped raw (Python-planner fallback lanes)."""
+    toks = bytearray()
+    ext = bytearray()
+    if q is None:
+        raw = np.ones(1024, bool)
+        q = np.zeros(1024, np.int32)
+        sfw = np.zeros(1024, np.uint16)
+    raw = raw.astype(bool) if raw is not None else np.zeros(1024, bool)
+    zero = (q == 0) & ~raw & (coef == 0)
+    # positions that disagree with their q representation must go raw
+    cur_sf = -1
+    p = 0
+    while p < 1024:
+        if zero[p]:
+            n = 1
+            while p + n < 1024 and zero[p + n]:
+                n += 1
+            while n > 0:
+                step = min(n, ZRUN_MAX)
+                toks.append(T_ZRUN0 - 1 + step)
+                n -= step
+                p += step
+            continue
+        if raw[p]:
+            n = 1
+            while n < RAW_MAX and p + n < 1024 and raw[p + n]:
+                n += 1
+            toks.append(T_RAW0 + n)
+            ext.extend(np.asarray(coef[p:p + n], np.float32).tobytes())
+            p += n
+            continue
+        # plain value position: ensure sf in effect
+        if int(sfw[p]) != cur_sf:
+            cur_sf = int(sfw[p])
+            toks.append(T_SETSF)
+            ext.extend(int(cur_sf).to_bytes(2, "little"))
+        same = lambda i: (not zero[i]) and (not raw[i]) \
+            and int(sfw[i]) == cur_sf
+        v = int(q[p])
+        # QUAD: 4 positions of |v|<=1 under one sf (zeros allowed inside)
+        if (abs(v) <= 1 and p + 3 < 1024
+                and all((zero[p + i] or same(p + i))
+                        and abs(int(q[p + i])) <= 1 for i in range(4))):
+            c = sum((int(q[p + i]) + 1) * 3 ** i for i in range(4))
+            toks.append(T_QUAD0 + c)
+            p += 4
+            continue
+        # PAIR: 2 positions of |v|<=3
+        if (abs(v) <= 3 and p + 1 < 1024
+                and (zero[p + 1] or (same(p + 1)
+                                     and abs(int(q[p + 1])) <= 3))):
+            v1 = int(q[p + 1])
+            toks.append(T_PAIR0 + (v + 3) * 7 + (v1 + 3))
+            p += 2
+            continue
+        av = abs(v)
+        if 4 <= av <= 19:
+            toks.append(T_SGL0 + ((v < 0) << 4) + (av - 4))
+        elif av <= 127:
+            toks.append(T_ESC1)
+            ext.append(v & 0xFF)
+        else:
+            toks.append(T_ESC2)
+            ext.extend(int(v & 0xFFFF).to_bytes(2, "little"))
+        p += 1
+    return bytes(toks), bytes(ext)
+
+
+def build_side(sbr, ch: int, id_aac: int, err: int = 0,
+               core_meta: dict | None = None, is34: int = 0) -> bytes:
+    """SBR/PS side block for one lane (quantized codes, no host dequant).
+
+    Mirrors compact_plan.build_sbr_compact's host-state advance (noise/sine
+    phase) but ships the raw integer codes; mapping/dequant/chirp move into
+    expand_frame.  ``sbr`` may be None (core-only / silence lane)."""
+    from ..tables.aac_tables import TYPE_CPE
+
+    b = bytearray(SIDE_HEAD)
+    if core_meta is not None:
+        b[SH_CORE] = (int(core_meta.get("ws", 0)) & 3) \
+            | ((int(core_meta.get("kbd", 0)) & 1) << 2) | ((err & 1) << 3)
+    if sbr is None:
+        return bytes(b)
+    d = sbr.data[ch]
+    coupled = int(id_aac == TYPE_CPE and sbr.bs_coupling)
+    b[SH_KX0], b[SH_KX1] = int(sbr.kx[0]), int(sbr.kx[1])
+    b[SH_M0], b[SH_M1] = int(sbr.m[0]), int(sbr.m[1])
+    b[SH_TOLD2] = 2 * int(d.t_env_num_env_old)
+    if not sbr.start:
+        return bytes(b)
+    ne = int(d.bs_num_env)
+    b[SH_FLAGS] = (1 | (int(bool(sbr.reset)) << 1)
+                   | (int(d.bs_amp_res) << 2) | (coupled << 3)
+                   | ((coupled and ch == 1) << 4)
+                   | (int(bool(d.bs_add_harmonic_flag)) << 5))
+    b[SH_NE] = ne
+    b[SH_NNOISE] = int(d.bs_num_noise)
+    for e in range(ne):
+        if d.bs_freq_res[e + 1]:
+            b[SH_FRBITS] |= 1 << e
+        if d.bs_num_noise > 1 and d.t_env[e] >= d.t_q[1]:
+            b[SH_TQSEL] |= 1 << e
+        b[SH_TENV + e] = int(d.t_env[e])
+    for e in range(ne, 6):
+        b[SH_TENV + e] = int(d.t_env[ne])
+    b[SH_TENV + ne] = int(d.t_env[ne])
+    b[SH_EA0] = int(d.e_a[0]) + 1
+    b[SH_EA1] = int(d.e_a[1]) + 1
+    b[SH_HSL] = 4 * (not sbr.bs_smoothing_mode)
+    b[SH_SINE0] = int(d.f_indexsine)
+    b[SH_NOISE0:SH_NOISE0 + 2] = int(d.f_indexnoise).to_bytes(2, "little")
+    from ..ops.sbr_np import chirp
+    chirp(sbr, d)
+    b[SH_BW:SH_BW + 20] = np.asarray(d.bw_array[:5], np.float32).tobytes()
+
+    # env codes: main channel (ch0) first, pan channel second when coupled
+    # (sbr_dequant consumes E1/E2 jointly for both output channels)
+    chs = [0, 1] if coupled else [ch]
+    for c in chs:
+        dd = sbr.data[c]
+        for e in range(1, ne + 1):
+            n = int(sbr.n[d.bs_freq_res[e]])
+            b.extend(int(dd.env_facs[e][k]) & 0xFF for k in range(n))
+    for c in chs:
+        dd = sbr.data[c]
+        for e in range(1, int(d.bs_num_noise) + 1):
+            b.extend(int(dd.noise_facs[e][k]) & 0xFF
+                     for k in range(int(sbr.n_q)))
+    if d.bs_add_harmonic_flag:
+        bits = 0
+        for i in range(int(sbr.n[1])):
+            bits |= int(bool(d.bs_add_harmonic[i])) << i
+        b.extend(bits.to_bytes(3, "little"))
+    ps = getattr(sbr, "ps", None)
+    if ps is not None and ps.start and ch == 0 and id_aac != TYPE_CPE:
+        from ..ops import ps_np
+        b[SH_FLAGS] |= 1 << 6
+        pb = bytearray(PS_HEAD)
+        pb[PS_NENV] = int(ps.num_env)
+        pb[PS_FLAGS] = (int(ps.enable_ipdopd) | (int(ps.iid_quant) << 1)
+                        | (int(ps.icc_mode) << 2))
+        pb[PS_NIPD] = int(ps.nr_ipdopd_par)
+        pb[PS_TOP] = int(sbr.kx[1] + sbr.m[1])
+        for e2 in range(min(int(ps.num_env) + 1, 6)):
+            pb[PS_BORD + e2] = int(ps.border_position[e2]) & 0xFF
+        npar = P.NR_PAR_BANDS[is34]
+        iid = ps_np._remap(ps.iid_par, ps.nr_iid_par, ps.num_env, 1, is34)
+        icc = ps_np._remap(ps.icc_par, ps.nr_icc_par, ps.num_env, 1, is34)
+        for e2 in range(int(ps.num_env)):
+            pb.extend(int(x) & 0xFF for x in iid[e2][:npar])
+        for e2 in range(int(ps.num_env)):
+            pb.extend(int(x) & 0xFF for x in icc[e2][:npar])
+        if ps.enable_ipdopd:
+            nip = min(int(ps.nr_ipdopd_par), 17)
+            ipd = ps_np._remap(ps.ipd_par, ps.nr_ipdopd_par, ps.num_env,
+                               0, is34)
+            opd = ps_np._remap(ps.opd_par, ps.nr_ipdopd_par, ps.num_env,
+                               0, is34)
+            for e2 in range(int(ps.num_env)):
+                pb.extend(int(x) & 0xFF for x in ipd[e2][:nip])
+            for e2 in range(int(ps.num_env)):
+                pb.extend(int(x) & 0xFF for x in opd[e2][:nip])
+        b.extend(pb)
+    # advance the host noise/sine phase exactly like the other builders
+    nslots = 2 * (int(d.t_env[ne]) - int(d.t_env[0]))
+    d.f_indexnoise = (d.f_indexnoise + nslots * int(sbr.m[1])) & 0x1FF
+    d.f_indexsine = (d.f_indexsine + nslots) & 3
+    assert len(b) <= SIDE_MAX, len(b)
+    return bytes(b)
+
+
+def build_header(sbr) -> bytes:
+    """Header block: frequency tables + patch map (ships on reset frames;
+    carried on device between resets).  aacsbr.c:304-575 outputs."""
+    b = bytearray(H_TAB)
+    n0, n1 = int(sbr.n[0]), int(sbr.n[1])
+    nq, nlim = int(sbr.n_q), int(sbr.n_lim)
+    npat = int(sbr.num_patches)
+    b[H_N0], b[H_N1], b[H_NQ], b[H_NLIM] = n0, n1, nq, nlim
+    b[H_NPATCH] = npat
+    b[H_KX1], b[H_M1] = int(sbr.kx[1]), int(sbr.m[1])
+    b[H_FLAGS] = int(bool(sbr.bs_interpol_freq))
+    b[H_LIMG] = int(sbr.bs_limiter_gains)
+    for tab, n in ((sbr.f_tablelow, n0 + 1), (sbr.f_tablehigh, n1 + 1),
+                   (sbr.f_tablenoise, nq + 1), (sbr.f_tablelim, nlim + 1)):
+        b.extend(int(tab[i]) & 0xFF for i in range(n))
+    b.extend(int(sbr.patch_start_subband[j]) & 0xFF for j in range(npat))
+    b.extend(int(sbr.patch_num_subbands[j]) & 0xFF for j in range(npat))
+    assert len(b) <= HDR_MAX, len(b)
+    return bytes(b)
+
+
+def assemble_lane(tokens: bytes, ext: bytes, side: bytes,
+                  header: bytes = b"") -> tuple[bytes, np.ndarray]:
+    """One frame-lane's heap payload + its 8-word record (tok_off 0)."""
+    rec = np.zeros(REC_W, np.int32)
+    rec[R_NTOK] = len(tokens)
+    rec[R_NEXT] = len(ext)
+    rec[R_SIDELEN] = len(side)
+    rec[R_HDRLEN] = len(header)
+    return tokens + ext + side + header, rec
+
+
+def silence_lane() -> tuple[bytes, np.ndarray]:
+    """Payload + record for a silence/padding lane."""
+    toks = bytes([T_ZRUN0 - 1 + ZRUN_MAX]) * (1024 // ZRUN_MAX)
+    return assemble_lane(toks, b"", bytes(SIDE_HEAD))
+
+
+# =============================================================================
+# Device-side LUTs (host-computed once; exp2 semantics identical to
+# bitstream/sbr_syntax.sbr_dequant by construction)
+# =============================================================================
+def _luts():
+    exp2 = lambda x: np.exp2(np.float32(x), dtype=np.float32)
+    Ei = np.arange(128)
+    lut = dict(
+        cbrt=cbrt_tab(),
+        pow2sf=pow2sf_tab(),
+        # uncoupled env: exp2(alpha*E + 6), alpha = 1.0 / 0.5
+        env=np.stack([np.array([exp2(0.5 * e + 6.0) for e in Ei]),
+                      np.array([exp2(1.0 * e + 6.0) for e in Ei])]),
+        # coupled: temp1 = exp2(E1*alpha + 7)
+        env_c1=np.stack([np.array([exp2(0.5 * e + 7.0) for e in Ei]),
+                         np.array([exp2(1.0 * e + 7.0) for e in Ei])]),
+        # coupled: temp2 = exp2((pan_offset - E2) * alpha)
+        env_c2=np.stack([np.array([exp2((24.0 - e) * 0.5) for e in Ei]),
+                         np.array([exp2((12.0 - e) * 1.0) for e in Ei])]),
+        # uncoupled noise: exp2(6 - Q)
+        noise=np.array([exp2(6.0 - q) for q in range(64)]),
+        # coupled noise: temp1 = exp2(6 - Q1 + 1), temp2 = exp2(12 - Q2)
+        noise_c1=np.array([exp2(7.0 - q) for q in range(64)]),
+        noise_c2=np.array([exp2(12.0 - q) for q in range(64)]),
+        bw_tab=np.array([0.0, 0.75, 0.9, 0.98], np.float32),
+        limgain=np.array([0.70795, 1.0, 1.41254, 1e10], np.float32),
+    )
+    return {k: np.ascontiguousarray(v, np.float32) for k, v in lut.items()}
+
+
+_LUTS = None
+
+
+def luts():
+    global _LUTS
+    if _LUTS is None:
+        _LUTS = _luts()
+    return _LUTS
+
+
+# =============================================================================
+# Device-side decode (jax)
+# =============================================================================
+def decode_coeffs_jax(heap, tok_off, ntok, S: int):
+    """heap [N] i32 (u8 values), tok_off/ntok [B] -> coeffs [B, 1024] f32.
+
+    Fully parallel: classify tokens, cumsum advances/ext sizes, binary-search
+    each of the 1024 bins for its producing token, decode elementwise."""
+    import jax
+    import jax.numpy as jnp
+
+    L = luts()
+    cbrt = jnp.asarray(L["cbrt"])
+    pow2 = jnp.asarray(L["pow2sf"])
+    N = heap.shape[0]
+    i = jnp.arange(S)[None, :]
+    live = i < ntok[:, None]
+    toks = jnp.where(live, heap[(tok_off[:, None] + i).clip(0, N - 1)], 0)
+    is_zrun = (toks >= T_ZRUN0) & (toks <= T_ZRUN0 - 1 + ZRUN_MAX)
+    is_pair = (toks >= T_PAIR0) & (toks < T_PAIR0 + 49)
+    is_sgl = (toks >= T_SGL0) & (toks < T_SGL0 + 32)
+    is_esc1 = toks == T_ESC1
+    is_esc2 = toks == T_ESC2
+    is_sf = toks == T_SETSF
+    is_raw = (toks > T_RAW0) & (toks <= T_RAW0 + RAW_MAX)
+    is_quad = (toks >= T_QUAD0) & (toks <= T_QUAD_END)
+    adv = (jnp.where(is_zrun, toks, 0) + 2 * is_pair + is_sgl + is_esc1
+           + is_esc2 + jnp.where(is_raw, toks - T_RAW0, 0) + 4 * is_quad)
+    cum = jnp.cumsum(adv, axis=1)
+    start = cum - adv
+    ext_sz = (is_esc1 + 2 * is_esc2 + 2 * is_sf
+              + jnp.where(is_raw, 4 * (toks - T_RAW0), 0))
+    ext0 = tok_off[:, None] + ntok[:, None]
+    ext_pos = jnp.cumsum(ext_sz, axis=1) - ext_sz + ext0
+    # scalefactor in effect at each token
+    sf_at = jnp.where(is_sf, i, -1)
+    last_sf = jax.lax.cummax(sf_at, axis=1)
+    sf_ext = jnp.take_along_axis(ext_pos, last_sf.clip(0), axis=1)
+    sfw = (heap[sf_ext.clip(0, N - 1)]
+           | (heap[(sf_ext + 1).clip(0, N - 1)] << 8))
+    sf = jnp.where((sfw >> 15) & 1, 1.0, -1.0) * pow2[sfw & 511]
+    sf = sf * (last_sf >= 0)
+    # inverse map: which token covers output position p
+    p = jnp.arange(1024)[None, :]
+    B = toks.shape[0]
+    lo = jnp.zeros((B, 1024), jnp.int32)
+    hi = jnp.full((B, 1024), S, jnp.int32)
+    for _ in range(S.bit_length()):
+        mid = (lo + hi) >> 1
+        cm = jnp.take_along_axis(cum, mid.clip(0, S - 1), axis=1)
+        go = cm <= p
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go, hi, mid)
+    t_of = lo.clip(0, S - 1)
+    covered = p < cum[:, -1:]
+    g = lambda a: jnp.take_along_axis(a, t_of, axis=1)
+    tok_p, start_p, sf_p, ext_p = g(toks), g(start), g(sf), g(ext_pos)
+    k = p - start_p
+    pairp = (tok_p >= T_PAIR0) & (tok_p < T_PAIR0 + 49)
+    sglp = (tok_p >= T_SGL0) & (tok_p < T_SGL0 + 32)
+    escp1 = tok_p == T_ESC1
+    escp2 = tok_p == T_ESC2
+    rawp = (tok_p > T_RAW0) & (tok_p <= T_RAW0 + RAW_MAX)
+    quadp = (tok_p >= T_QUAD0) & (tok_p <= T_QUAD_END)
+    c = tok_p - T_PAIR0
+    vpair = jnp.where(k == 0, c // 7 - 3, c % 7 - 3)
+    cq = tok_p - T_QUAD0
+    # constant divisors only: TPU has no hardware integer division, and a
+    # divide by a data-dependent value lowers to a catastrophically slow
+    # expansion (measured: 3.1 s vs 5 ms for this whole decode)
+    vquad = jnp.where(k == 0, cq % 3,
+                      jnp.where(k == 1, (cq // 3) % 3,
+                                jnp.where(k == 2, (cq // 9) % 3,
+                                          (cq // 27) % 3))) - 1
+    cs = tok_p - T_SGL0
+    vsgl = jnp.where((cs >> 4) & 1, -(4 + (cs & 15)), 4 + (cs & 15))
+    e0 = heap[ext_p.clip(0, N - 1)]
+    e1 = heap[(ext_p + 1).clip(0, N - 1)]
+    vesc = jnp.where(escp1, ((e0 ^ 128) - 128),
+                     (((e0 | (e1 << 8)) ^ 32768) - 32768))
+    v = (jnp.where(pairp, vpair, 0) + jnp.where(quadp, vquad, 0)
+         + jnp.where(sglp, vsgl, 0) + jnp.where(escp1 | escp2, vesc, 0))
+    mag = cbrt[jnp.abs(v).clip(0, 8191)]
+    val = jnp.where(v < 0, -mag, mag) * sf_p
+    rp = (ext_p + 4 * k).clip(0, N - 4)
+    w32 = (heap[rp] | (heap[rp + 1] << 8) | (heap[rp + 2] << 16)
+           | (heap[rp + 3] << 24)).astype(jnp.int32)
+    rawv = jax.lax.bitcast_convert_type(w32, jnp.float32)
+    out = jnp.where(rawp, rawv, jnp.where(v == 0, 0.0, val))
+    return jnp.where(covered, out, 0.0)
+
+
+def init_qcarry(B: int):
+    """Cross-frame device state for the side expansion: carried header
+    bytes, s_indexmapped, chirp bw + previous invf, window chain."""
+    import jax.numpy as jnp
+    return dict(
+        hdr=jnp.zeros((B, HDR_MAX), jnp.int32),
+        s_idx=jnp.zeros((B, M), jnp.int32),
+        ws_prev=jnp.zeros((B,), jnp.int32),
+        kbd_prev=jnp.zeros((B,), jnp.int32),
+    )
+
+
+def expand_frame_jax(heap, rec, carry, is34: int = 0):
+    """rec [B, REC_W] i32 + heap + carry -> (core_meta, sbr dense plan,
+    ps plan, new carry).  The device analogue of
+    compact_plan.build_sbr_compact + expand_sbr and build_ps_compact +
+    expand_ps, driven by integer codes (sbr_dequant/sbr_mapping/sbr_chirp:
+    aacsbr.c:1089/1451/1316)."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import compact_plan as CP
+
+    Lt = luts()
+    f32 = jnp.float32
+    B = rec.shape[0]
+    N = heap.shape[0]
+    tok_off = rec[:, R_TOKOFF]
+    side_off = tok_off + rec[:, R_NTOK] + rec[:, R_NEXT]
+    hdr_off = side_off + rec[:, R_SIDELEN]
+    has_hdr = rec[:, R_HDRLEN] > 0
+
+    gw = lambda off, n: heap[(off[:, None]
+                              + jnp.arange(n)[None, :]).clip(0, N - 1)]
+    side = gw(side_off, SIDE_MAX)                       # [B,256]
+    hdr_new = gw(hdr_off, HDR_MAX)
+    hdr = jnp.where(has_hdr[:, None], hdr_new, carry["hdr"])
+
+    sb = lambda j: side[:, j]
+    core0 = sb(SH_CORE)
+    ws = core0 & 3
+    kbd = (core0 >> 2) & 1
+    err = (core0 >> 3) & 1
+    core_meta = dict(ws=ws, wsp=carry["ws_prev"], kbd=kbd,
+                     kbdp=carry["kbd_prev"])
+    flags = sb(SH_FLAGS)
+    start = flags & 1
+    reset = (flags >> 1) & 1
+    ampres = (flags >> 2) & 1
+    coupled = (flags >> 3) & 1
+    pan = (flags >> 4) & 1
+    addharm = (flags >> 5) & 1
+    ps_on = (flags >> 6) & 1
+    ne = sb(SH_NE)
+    nnoise = sb(SH_NNOISE)
+    frbits = sb(SH_FRBITS)
+    tqsel = sb(SH_TQSEL)
+    tenv = side[:, SH_TENV:SH_TENV + 6]                 # [B,6] slots
+    ea0 = sb(SH_EA0) - 1
+    ea1 = sb(SH_EA1) - 1
+    hsl = sb(SH_HSL)
+    sine0 = sb(SH_SINE0)
+    noise0 = sb(SH_NOISE0) | (sb(SH_NOISE0 + 1) << 8)
+    kx0, kx1 = sb(SH_KX0), sb(SH_KX1)
+    m0, m1 = sb(SH_M0), sb(SH_M1)
+    told2 = sb(SH_TOLD2)
+    bwb = side[:, SH_BW:SH_BW + 20].reshape(B, 5, 4)
+    bw_now = jax.lax.bitcast_convert_type(
+        (bwb[..., 0] | (bwb[..., 1] << 8) | (bwb[..., 2] << 16)
+         | (bwb[..., 3] << 24)).astype(jnp.int32), jnp.float32)
+
+    hb = lambda j: hdr[:, j]
+    n0, n1 = hb(H_N0), hb(H_N1)
+    nq, nlim = hb(H_NQ), hb(H_NLIM)
+    npat = hb(H_NPATCH)
+    interpol = hb(H_FLAGS) & 1
+    limg = jnp.asarray(Lt["limgain"])[hb(H_LIMG).clip(0, 3)]
+    t_lo = H_TAB
+    flow = hdr[:, H_TAB:H_TAB + NB_LO + 1]              # [B,14]
+    t_hi = t_lo + n0[:, None] + 1
+    idx_of = lambda base, n: (base + jnp.arange(n)[None, :])\
+        .clip(0, HDR_MAX - 1)
+    fhigh = jnp.take_along_axis(hdr, idx_of(t_hi, NB_HI + 1), axis=1)
+    t_q = t_hi + n1[:, None] + 1
+    fnoise = jnp.take_along_axis(hdr, idx_of(t_q, NB_Q + 1), axis=1)
+    t_lim = t_q + nq[:, None] + 1
+    flim = jnp.take_along_axis(hdr, idx_of(t_lim, NB_LIM + 1), axis=1)
+    t_ps = t_lim + nlim[:, None] + 1
+    pstart = jnp.take_along_axis(hdr, idx_of(t_ps, NPATCH), axis=1)
+    pnum = jnp.take_along_axis(hdr, idx_of(t_ps + npat[:, None], NPATCH),
+                               axis=1)
+    pnum = pnum * (jnp.arange(NPATCH)[None, :] < npat[:, None])
+
+    m48 = jnp.arange(M)[None, :]
+    kk = kx1[:, None] + m48                             # QMF band of m
+    # band-of-m maps from the tables (validity: band index < count)
+    def band_of(tab, cnt, nb):
+        valid = (jnp.arange(nb + 1)[None, None, :] <= cnt[:, None, None])
+        ge = (kk[:, :, None] >= tab[:, None, :nb + 1]) & valid
+        idx = ge.sum(-1) - 1
+        return jnp.where((idx >= 0) & (idx < cnt[:, None]), idx, -1)
+    map_lo = band_of(flow, n0, NB_LO)
+    map_hi = band_of(fhigh, n1, NB_HI)
+    map_q = band_of(fnoise, nq, NB_Q)
+    map_lim = band_of(flim, nlim, NB_LIM)
+    # patch source band + noise band of m (aacsbr.c:1360-1409 walk)
+    pcum = jnp.cumsum(pnum, axis=1)
+    pj = (m48[:, :, None] >= pcum[:, None, :]).sum(-1)  # patch of m
+    pj_c = pj.clip(0, NPATCH - 1)
+    pbase = jnp.take_along_axis(pcum - pnum, pj_c, axis=1)
+    src_raw = (jnp.take_along_axis(pstart, pj_c, axis=1)
+               + m48 - pbase).clip(0, 63)
+    mm = (m48 < m1[:, None])
+    active = mm & (start > 0)[:, None]
+    src_of_m = jnp.where(active, src_raw, 0)
+    noisb = jnp.where(active, map_q.clip(0, NB_Q - 1), 0)
+
+    # ---- sbr_dequant via LUTs (codes -> f32 values) ------------------------
+    soff = jnp.full((B, 1), SIDE_HEAD, jnp.int32)
+    e5 = jnp.arange(E)[None, :]
+    res_e = (frbits[:, None] >> e5) & 1                 # [B,5]
+    nb_e = jnp.where(res_e > 0, n1[:, None], n0[:, None]) \
+        * (e5 < ne[:, None])
+    env_off = soff + jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(nb_e, axis=1)[:, :4]], 1)
+    env_total = nb_e.sum(1, keepdims=True)
+    j22 = jnp.arange(NB_HI)[None, None, :]
+    ecodes = jnp.take_along_axis(
+        side, (env_off[:, :, None] + j22).clip(0, SIDE_MAX - 1)
+        .reshape(B, -1), axis=1).reshape(B, E, NB_HI)
+    pan_off = env_off + env_total * coupled[:, None]
+    pcodes = jnp.take_along_axis(
+        side, (pan_off[:, :, None] + j22).clip(0, SIDE_MAX - 1)
+        .reshape(B, -1), axis=1).reshape(B, E, NB_HI)
+    after_env = soff[:, 0] + env_total[:, 0] * (1 + coupled)
+    nrow = jnp.arange(2)[None, :]
+    nsz = nq[:, None] * (nrow < nnoise[:, None])
+    noff = after_env[:, None] + jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), nsz[:, :1]], 1)
+    j5 = jnp.arange(NB_Q)[None, None, :]
+    qcodes = jnp.take_along_axis(
+        side, (noff[:, :, None] + j5).clip(0, SIDE_MAX - 1)
+        .reshape(B, -1), axis=1).reshape(B, 2, NB_Q)
+    ntotal = nsz.sum(1)
+    qpan_off = noff + (ntotal * coupled)[:, None]
+    qpcodes = jnp.take_along_axis(
+        side, (qpan_off[:, :, None] + j5).clip(0, SIDE_MAX - 1)
+        .reshape(B, -1), axis=1).reshape(B, 2, NB_Q)
+    after_noise = after_env + ntotal * (1 + coupled)
+    ah_off = after_noise
+    ah_w = (jnp.take_along_axis(side, ah_off[:, None].clip(0, SIDE_MAX - 1),
+                                axis=1)
+            | (jnp.take_along_axis(side, (ah_off + 1)[:, None]
+                                   .clip(0, SIDE_MAX - 1), axis=1) << 8)
+            | (jnp.take_along_axis(side, (ah_off + 2)[:, None]
+                                   .clip(0, SIDE_MAX - 1), axis=1) << 16))
+    ah_w = ah_w * addharm[:, None]                      # [B,1]
+    ps_off = after_noise + 3 * addharm
+
+    env_lut = jnp.asarray(Lt["env"])
+    c1_lut = jnp.asarray(Lt["env_c1"])
+    c2_lut = jnp.asarray(Lt["env_c2"])
+    ar = ampres[:, None, None]
+    ecl = ecodes.clip(0, 127)
+    pcl = pcodes.clip(0, 127)
+    # uncoupled / coupled channel values (sbr_dequant, aacsbr.c:1089-1128)
+    v_unc = jnp.where(ar > 0, env_lut[1][ecl], env_lut[0][ecl])
+    t1 = jnp.where(ar > 0, c1_lut[1][ecl], c1_lut[0][ecl])
+    t2 = jnp.where(ar > 0, c2_lut[1][pcl], c2_lut[0][pcl])
+    fac = t1 / (1.0 + t2)
+    v_cpl = jnp.where(pan[:, None, None] > 0, fac * t2, fac)
+    env_vals = jnp.where(coupled[:, None, None] > 0, v_cpl, v_unc)
+    qcl = qcodes.clip(0, 63)
+    qpl = qpcodes.clip(0, 63)
+    nz_lut = jnp.asarray(Lt["noise"])
+    n1_lut = jnp.asarray(Lt["noise_c1"])
+    n2_lut = jnp.asarray(Lt["noise_c2"])
+    q_unc = nz_lut[qcl]
+    qt1 = n1_lut[qcl]
+    qt2 = n2_lut[qpl]
+    qfac = qt1 / (1.0 + qt2)
+    q_cpl = jnp.where(pan[:, None, None] > 0, qfac * qt2, qfac)
+    noise_vals = jnp.where(coupled[:, None, None] > 0, q_cpl, q_unc)
+
+    # ---- sbr_mapping (aacsbr.c:1451-1496) ----------------------------------
+    map_e = jnp.where(res_e[:, :, None] > 0, map_hi[:, None, :],
+                      map_lo[:, None, :])               # [B,5,48]
+    erow = (e5 < ne[:, None])[:, :, None] & (start > 0)[:, None, None]
+    # where-mask, not multiply: garbage codes in inactive rows dequant to
+    # inf and inf * 0 = nan
+    e_orig = jnp.where(
+        erow & mm[:, None, :],
+        jnp.take_along_axis(env_vals, map_e.clip(0, NB_HI - 1), axis=2), 0.0)
+    qsel = ((tqsel[:, None] >> e5) & 1)                 # [B,5]
+    # per-envelope noise row: gather row qsel[e] then band map
+    q_rows = jnp.take_along_axis(
+        noise_vals, jnp.broadcast_to(qsel[:, :, None], (B, E, NB_Q))
+        .clip(0, 1), axis=1)                            # [B,5,5]
+    q_map = jnp.where(
+        erow & mm[:, None, :],
+        jnp.take_along_axis(q_rows, jnp.broadcast_to(
+            map_q.clip(0, NB_Q - 1)[:, None, :], (B, E, M)), axis=2), 0.0)
+    # s_indexmapped / s_mapped (uses the carried row 0 for every envelope)
+    m_mid = (((fhigh[:, :NB_HI] + fhigh[:, 1:NB_HI + 1]) >> 1)
+             - kx1[:, None])                            # [B,22]
+    ah_bits = (ah_w[:, :] >> jnp.arange(NB_HI)[None, :]) & 1
+    ah_bits = ah_bits * (jnp.arange(NB_HI)[None, :] < n1[:, None])
+    ah_at_m = ((m48[:, :, None] == m_mid[:, None, :]) * ah_bits[:, None, :])\
+        .sum(-1)                                        # [B,48]
+    gate = ((e5 >= ea1[:, None])[:, :, None]
+            | (carry["s_idx"] > 0)[:, None, :])         # [B,5,48]
+    s_idxm = ah_at_m[:, None, :] * gate * erow          # [B,5,48] rows e+1
+    same_e = (map_e[:, :, :, None] == map_e[:, :, None, :]) \
+        & (map_e >= 0)[:, :, :, None]
+    s_mapped = (jnp.einsum("bemn,ben->bem", same_e.astype(f32),
+                           s_idxm.astype(f32)) > 0).astype(jnp.int32) \
+        * erow * mm[:, None, :]
+    s_idx_last = jnp.take_along_axis(
+        s_idxm, jnp.broadcast_to((ne - 1).clip(0)[:, None, None],
+                                 (B, 1, M)), axis=1)[:, 0]
+    s_idx_next = jnp.where((start > 0)[:, None], s_idx_last, carry["s_idx"])
+
+    # ---- assemble the dense plan (mirrors compact_plan.expand_sbr) ---------
+    k64 = jnp.arange(64)[None, :]
+    s38 = jnp.arange(38)[None, :]
+    s40 = jnp.arange(40)[None, :]
+    r42 = jnp.arange(42)[None, :]
+    t2 = 2 * tenv      # [B,6] slot*2; entries ne..5 already hold the final
+    #                    border (emitter convention, matches the builder)
+    startf = (start & 1).astype(f32)
+    xlow_old = (k64 < kx0[:, None]).astype(f32)
+    xlow_new = (k64 < kx1[:, None]).astype(f32)
+    use_y_old = ((k64 >= kx0[:, None])
+                 & (k64 < (kx0 + m0)[:, None])).astype(f32)
+    use_y_new = ((k64 >= kx1[:, None])
+                 & (k64 < (kx1 + m1)[:, None])).astype(f32)
+    bw_of_m = jnp.take_along_axis(bw_now, noisb, axis=1)
+    hf_mask = mm.astype(f32)
+    bw_of_m = bw_of_m * hf_mask
+    EAO = 2  # ENVELOPE_ADJUSTMENT_OFFSET
+    ilo = t2[:, 0:1] + EAO
+    ihi = t2[:, 5:6] + EAO
+    gen_slot_mask = ((s40 >= ilo) & (s40 < ihi)).astype(f32) * startf[:, None]
+    lo_e = t2[:, :5][:, :, None]
+    hi_e = t2[:, 1:6][:, :, None]
+    e_act = (e5 < ne[:, None])[:, :, None] & (start > 0)[:, None, None]
+    env_onehot = ((s38[:, None, :] >= lo_e) & (s38[:, None, :] < hi_e)
+                  & e_act).astype(f32)
+    dt_env = (tenv[:, 1:6] - tenv[:, :5]).astype(f32)
+    recip = jnp.where((dt_env > 0) & (e5 < ne[:, None])
+                      & (start > 0)[:, None],
+                      f32(0.5) / jnp.where(dt_env > 0, dt_env, 1.0), 0.0)
+    freqres_sel = (res_e & (e5 < ne[:, None]) & (start > 0)[:, None])\
+        .astype(f32)
+
+    # grp-mean maps: identity under interpol_freq, else band maps + 1/width
+    def grp_maps(tab, cnt, bmap, nb):
+        wdt = (tab[:, 1:nb + 1] - tab[:, :nb]).astype(f32)
+        iw_band = jnp.where(
+            (jnp.arange(nb)[None, :] < cnt[:, None]) & (wdt > 0),
+            f32(1.0) / jnp.where(wdt > 0, wdt, 1.0), 0.0)
+        iw = jnp.take_along_axis(iw_band, bmap.clip(0, nb - 1), axis=1) \
+            * (bmap >= 0)
+        return iw
+    ident = interpol[:, None] > 0
+    pb_lo = jnp.where(ident, m48, jnp.where((start > 0)[:, None], map_lo,
+                                            -1))
+    pb_hi = jnp.where(ident, m48, jnp.where((start > 0)[:, None], map_hi,
+                                            -1))
+    iw_lo = jnp.where(ident, 1.0, grp_maps(flow, n0, map_lo, NB_LO))
+    iw_hi = jnp.where(ident, 1.0, grp_maps(fhigh, n1, map_hi, NB_HI))
+    iw_lo = iw_lo * (start > 0)[:, None]
+    iw_hi = iw_hi * (start > 0)[:, None]
+    # builder writes identity maps only for start frames; zeros_compact
+    # (silence / not-start) carries pb = -1 rows
+    pb_lo = jnp.where((start > 0)[:, None], pb_lo, -1)
+    pb_hi = jnp.where((start > 0)[:, None], pb_hi, -1)
+    same_lo = (pb_lo[:, :, None] == pb_lo[:, None, :]) \
+        & (pb_lo >= 0)[:, :, None]
+    same_hi = (pb_hi[:, :, None] == pb_hi[:, None, :]) \
+        & (pb_hi >= 0)[:, :, None]
+    grp_mean = jnp.stack([same_lo.astype(f32) * iw_lo[:, None, :],
+                          same_hi.astype(f32) * iw_hi[:, None, :]], 1)
+    limb = jnp.where((start > 0)[:, None], map_lim, -1)
+    l28 = jnp.arange(NB_LIM)[None, :, None]
+    lim_onehot = ((limb[:, None, :] == l28)
+                  & (limb >= 0)[:, None, :]).astype(f32)
+
+    smask_pos = s_mapped.astype(f32)
+    s_idx_f = s_idxm.astype(f32)
+    in_ea_e = ((e5 == ea0[:, None]) | (e5 == ea1[:, None]))\
+        .astype(f32)[:, :, None]
+    delta = 1.0 - in_ea_e
+    temp = e_orig / (1.0 + q_map)
+    q_m0 = jnp.sqrt(temp * q_map) * mm[:, None, :]
+    s_m0 = jnp.sqrt(temp * s_idx_f) * mm[:, None, :]
+    erow_f = erow.astype(f32)
+    gain_num = e_orig * jnp.where(smask_pos > 0, q_map, 1.0)
+    den_q = 1.0 + q_map * jnp.where(smask_pos > 0, 1.0, delta)
+    den_q = jnp.where(erow_f > 0, den_q, 1.0)
+    noisegate = erow_f * delta * (s_m0 == 0)
+    scatter_m = ((k64[:, None, :] - kx1[:, None, None] == m48[:, :, None])
+                 & mm[:, :, None]).astype(f32)
+
+    t0_2 = t2[:, 0:1]
+    hslc = hsl[:, None]
+    env_of_r = (r42[:, None, :] - hslc[:, :, None] >= lo_e) \
+        & (r42[:, None, :] - hslc[:, :, None] < hi_e) & e_act
+    reset_row = ((reset[:, None] > 0) & (r42 >= t0_2)
+                 & (r42 < t0_2 + hslc))[:, None, :] \
+        & (e5 == 0)[:, :, None]
+    fill_map = jnp.swapaxes((env_of_r | reset_row).astype(f32), 1, 2)
+    shuf = (reset[:, None] == 0) & (hslc > 0) & (r42 >= t0_2) \
+        & (r42 < t0_2 + 4) & (start > 0)[:, None]
+    src = told2[:, None] + (r42 - t0_2)
+    row_src = jnp.where(shuf & (src >= 0) & (src < 42), src, r42)
+    in_rng = (s38 >= t0_2) & (s38 < t2[:, 5:6]) & (start > 0)[:, None]
+    direct_row = jnp.where(in_rng, s38 + hslc, s38)
+    is_ea_slot = jnp.einsum("bes,be->bs", env_onehot, in_ea_e[:, :, 0])
+    smooth_on = jnp.where(in_rng, (hslc > 0).astype(f32) * (1.0 - is_ea_slot),
+                          0.0)
+    noise_start = jnp.where(
+        in_rng, (noise0[:, None] + (s38 - t0_2) * m1[:, None]) & 0x1FF, 0)
+    phase = (sine0[:, None] + (s38 - t0_2)) & 3
+    phi_re = jnp.asarray(np.array([1, 0, -1, 0], np.float32))
+    phi_im = jnp.asarray(np.array([0, 1, 0, -1], np.float32))
+    sign0 = (1 - 2 * (kx1[:, None] & 1)).astype(f32)
+    sine_re = jnp.where(in_rng, jnp.take(phi_re, phase), 0.0)
+    sine_im0 = jnp.where(in_rng, jnp.take(phi_im, phase) * sign0, 0.0)
+    itemp = (told2 - 32).clip(0)
+
+    plan = dict(
+        start=startf, gain_num=gain_num, den_q=den_q,
+        e_orig=e_orig * erow_f, q_m0=q_m0, s_m0=s_m0, noisegate=noisegate,
+        lim_onehot=lim_onehot, limgain=limg * (start > 0),
+        env_onehot=env_onehot, recip=recip, src_of_m=src_of_m,
+        bw_of_m=bw_of_m, hf_mask=hf_mask, gen_slot_mask=gen_slot_mask,
+        row_src=row_src, fill_map=fill_map, smooth_on=smooth_on,
+        direct_row=direct_row, noise_start=noise_start, sine_re=sine_re,
+        sine_im0=sine_im0, grp_mean=grp_mean, freqres_sel=freqres_sel,
+        i_temp=itemp, use_y_old=use_y_old, use_y_new=use_y_new,
+        xlow_old=xlow_old, xlow_new=xlow_new, scatter_m=scatter_m)
+
+    # ---- PS block -> pc_i / pc_b equivalents -------------------------------
+    pg = lambda off, n: jnp.take_along_axis(
+        side, (off[:, None] + jnp.arange(n)[None, :]).clip(0, SIDE_MAX - 1),
+        axis=1)
+    psb = pg(ps_off, PS_HEAD)
+    penv = psb[:, PS_NENV] * ps_on
+    pflags = psb[:, PS_FLAGS]
+    npar = P.NR_PAR_BANDS[is34]
+    pc_i = jnp.zeros((B, CP.PC_I_N), jnp.int32)
+    pc_i = pc_i.at[:, CP.PI_ON].set(ps_on)
+    pc_i = pc_i.at[:, CP.PI_IPD].set((pflags & 1) * ps_on)
+    pc_i = pc_i.at[:, CP.PI_QUANT].set(((pflags >> 1) & 1) * ps_on)
+    pc_i = pc_i.at[:, CP.PI_NENV].set(penv)
+    pc_i = pc_i.at[:, CP.PI_ICCMODE].set(((pflags >> 2) & 7) * ps_on)
+    pc_i = pc_i.at[:, CP.PI_NIPD].set(psb[:, PS_NIPD] * ps_on)
+    pc_i = pc_i.at[:, CP.PI_TOP].set(psb[:, PS_TOP] * ps_on)
+    bords = ((psb[:, PS_BORD:PS_BORD + 6] ^ 128) - 128) \
+        * ps_on[:, None]                                # i8 semantics
+    pc_i = pc_i.at[:, CP.PI_BORD:CP.PI_BORD + 6].set(bords)
+    iid_off = ps_off + PS_HEAD
+    icc_off = iid_off + penv * npar
+    j34 = jnp.arange(34)[None, None, :]
+    em5 = jnp.arange(5)[None, :, None]
+    def codes5(off0):
+        pos = (off0[:, None, None] + em5 * npar + j34.clip(0, npar - 1))
+        vals = jnp.take_along_axis(side, pos.clip(0, SIDE_MAX - 1)
+                                   .reshape(B, -1), axis=1).reshape(B, 5, 34)
+        vals = (vals ^ 128) - 128
+        valid = (em5 < penv[:, None, None]) & (j34 < npar) \
+            & (ps_on > 0)[:, None, None]
+        return jnp.where(valid, vals, 0)
+    iid = codes5(iid_off)
+    icc = codes5(icc_off)
+    nipd = psb[:, PS_NIPD].clip(0, 17)
+    ipdopd_on = (pflags & 1) * ps_on
+    ipd_off = icc_off + penv * npar
+    opd_off = ipd_off + penv * nipd * ipdopd_on
+    j17 = jnp.arange(17)[None, None, :]
+    def codes17(off0):
+        pos = (off0[:, None, None] + em5 * nipd[:, None, None] + j17)
+        vals = jnp.take_along_axis(side, pos.clip(0, SIDE_MAX - 1)
+                                   .reshape(B, -1), axis=1).reshape(B, 5, 17)
+        vals = (vals ^ 128) - 128
+        valid = (em5 < penv[:, None, None]) & (j17 < nipd[:, None, None]) \
+            & (ipdopd_on > 0)[:, None, None]
+        return jnp.where(valid, vals, 0)
+    ipd = codes17(ipd_off)
+    opd = codes17(opd_off)
+    pc_b = jnp.concatenate([
+        iid.reshape(B, 170), icc.reshape(B, 170),
+        ipd.reshape(B, 85), opd.reshape(B, 85)], axis=1).astype(jnp.int8)
+    pc = dict(pc_i=pc_i, pc_b=pc_b)
+
+    new_carry = dict(
+        hdr=hdr, s_idx=s_idx_next,
+        ws_prev=jnp.where(err > 0, 0, ws),
+        kbd_prev=jnp.where(err > 0, 0, kbd))
+    return core_meta, plan, pc, new_carry
