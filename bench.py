@@ -61,7 +61,7 @@ def make_distinct_streams(n: int) -> list:
 
 
 def main():
-    from heaac_tpu.codec.batch import PipelinedStreamBatchDecoder
+    from heaac_tpu.codec.batch import QwirePipelinedDecoder
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -71,7 +71,7 @@ def main():
     # every lane is its own byte buffer, parsed individually
     streams = [distinct[i % len(distinct)] for i in range(B)]
 
-    dec = PipelinedStreamBatchDecoder(streams, group_streams=min(group, B))
+    dec = QwirePipelinedDecoder(streams, group_streams=min(group, B))
     # warm-up: compiles the scan for this (G, T) shape + touches buffers
     dec.decode()
     audio_s = dec.audio_seconds()

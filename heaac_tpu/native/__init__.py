@@ -19,7 +19,11 @@ def _build() -> None:
         raise RuntimeError(
             "tables.inc missing; run tools/gen_native_tables.py")
     subprocess.run(
-        ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-o", _SO, src],
+        # -ffp-contract=off: bit-exactness contract — fma contraction
+        # changes sbr_chirp/dequant roundings vs the Python reference
+        ["g++", "-O3", "-march=native", "-ffp-contract=off",
+         "-fno-math-errno", "-fPIC", "-shared", "-std=c++17", "-o", _SO,
+         src],
         check=True, cwd=_HERE)
 
 
@@ -74,6 +78,12 @@ def lib():
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, f32p, f32p, ctypes.c_int, ctypes.c_int64,
         ctypes.c_int64, u32p, u32p, i32p]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    L.hh_parse_he_stream_qwire.restype = ctypes.c_int
+    L.hh_parse_he_stream_qwire.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        i32p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64, i32p]
     L.ht_init()
     _lib = L
     return L
@@ -304,6 +314,34 @@ def parse_he_stream_packed_into(data: bytes, sampling_index: int,
         return None
     return r, dict(lanes=int(info[0]), sbr=int(info[1]),
                    is34=int(info[2]), err_frames=int(info[3]))
+
+
+def parse_he_stream_qwire_into(data: bytes, sampling_index: int,
+                               core_rate: int, chan_config: int,
+                               heap: np.ndarray, heap_cur: int,
+                               recs: np.ndarray, lane0: int,
+                               max_frames: int):
+    """Native HE parse emitting the quantized wire format (codec/qwire.py):
+    coefficient tokens + integer side/header blocks appended to ``heap``
+    (u8, 1-D) starting at byte ``heap_cur``; 8-word records written into
+    ``recs`` [T, L, 8] i32 at lane offset ``lane0``.  Returns
+    (n_frames, new_heap_cur, info) or None for Python-fallback streams
+    (also on native heap overflow)."""
+    import ctypes as C
+    L = lib()
+    info = np.zeros(4, np.int32)
+    cur = C.c_int64(heap_cur)
+    r = L.hh_parse_he_stream_qwire(
+        data, len(data), sampling_index, core_rate, chan_config,
+        heap.ctypes.data_as(C.POINTER(C.c_uint8)), heap.nbytes,
+        C.byref(cur), recs.ctypes.data_as(C.POINTER(C.c_int32)),
+        max_frames, recs.shape[1], lane0,
+        info.ctypes.data_as(C.POINTER(C.c_int32)))
+    if r < 0:
+        return None
+    return r, int(cur.value), dict(lanes=int(info[0]), sbr=int(info[1]),
+                                   is34=int(info[2]),
+                                   err_frames=int(info[3]))
 
 
 def parse_he_stream(data: bytes, sampling_index: int, core_rate: int,

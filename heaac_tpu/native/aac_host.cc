@@ -74,12 +74,18 @@ static inline uint64_t peek64(const Bits& b) {
 }
 
 // ----------------------------------------------------------------- vlc ----
-// flat full-width table, one int32 entry per prefix: (len << 16) | sym,
-// sym 0xFFFF = invalid — a single cache-line touch per lookup (the
-// separate sym/len arrays cost two)
+// two-level table: a 1<<lb (lb <= 10, 4 KB) first level that stays hot in
+// L1, one int32 entry per prefix: (len << 16) | sym, sym 0xFFFF = invalid.
+// Codes longer than lb bits store a negative marker -((sub_off << 5) |
+// extra_bits) pointing into per-prefix subtables indexed by the next
+// extra_bits bits.  (A flat full-width table costs 2 MB for the 19-bit
+// scalefactor/ESC books and misses cache on nearly every lookup —
+// measured ~35 ns/symbol vs ~8 ns two-level.)
 struct Vlc {
   int max_bits;
+  int lb;
   int32_t* ent;
+  int32_t* sub;
 };
 
 static Vlc vlc_sf;
@@ -91,21 +97,56 @@ static void build_vlc(Vlc* v, const uint32_t* codes, const uint8_t* bits,
   for (int i = 0; i < n; i++)
     if (bits[i] > mb) mb = bits[i];
   v->max_bits = mb;
-  size_t size = (size_t)1 << mb;
+  int lb = mb < 10 ? mb : 10;
+  v->lb = lb;
+  size_t size = (size_t)1 << lb;
   v->ent = new int32_t[size];
   for (size_t i = 0; i < size; i++) v->ent[i] = 0xFFFF;
+  int gmax[1 << 10] = {0};
+  for (int i = 0; i < n; i++)
+    if (bits[i] > lb) {
+      uint32_t pre = codes[i] >> (bits[i] - lb);
+      if (bits[i] > gmax[pre]) gmax[pre] = bits[i];
+    }
+  int64_t total = 0;
+  for (size_t p = 0; p < size; p++)
+    if (gmax[p]) total += (int64_t)1 << (gmax[p] - lb);
+  v->sub = total ? new int32_t[total] : nullptr;
+  for (int64_t i = 0; i < total; i++) v->sub[i] = 0xFFFF;
+  int64_t cur = 0;
+  int64_t suboff[1 << 10];
+  for (size_t p = 0; p < size; p++)
+    if (gmax[p]) {
+      suboff[p] = cur;
+      v->ent[p] = -(int32_t)((cur << 5) | (gmax[p] - lb));
+      cur += (int64_t)1 << (gmax[p] - lb);
+    }
   for (int i = 0; i < n; i++) {
     if (!bits[i]) continue;
-    uint32_t lo = codes[i] << (mb - bits[i]);
-    uint32_t hi = lo + (1u << (mb - bits[i]));
     int32_t e = ((int32_t)bits[i] << 16) | i;
-    for (uint32_t c = lo; c < hi; c++) v->ent[c] = e;
+    if (bits[i] <= lb) {
+      uint32_t lo = codes[i] << (lb - bits[i]);
+      uint32_t hi = lo + (1u << (lb - bits[i]));
+      for (uint32_t c = lo; c < hi; c++) v->ent[c] = e;
+    } else {
+      uint32_t pre = codes[i] >> (bits[i] - lb);
+      int span = gmax[pre] - bits[i];
+      uint32_t low = (codes[i] & ((1u << (bits[i] - lb)) - 1)) << span;
+      for (uint32_t c = low; c < low + (1u << span); c++)
+        v->sub[suboff[pre] + c] = e;
+    }
   }
 }
 
 static inline int vlc_get(Bits* b, const Vlc& v) {
-  uint32_t pre = showbits(*b, v.max_bits);
+  uint32_t pre = showbits(*b, v.lb);
   int32_t e = v.ent[pre];
+  if (__builtin_expect(e < 0, 0)) {
+    int extra = (-e) & 31;
+    int64_t off = (-e) >> 5;
+    uint32_t idx = showbits(*b, v.lb + extra) & ((1u << extra) - 1);
+    e = v.sub[off + idx];
+  }
   int s = e & 0xFFFF;
   if (s == 0xFFFF) return -1;
   b->pos += e >> 16;
@@ -172,7 +213,38 @@ struct Chan {
   int band_type[120];
   int band_run_end[120];
   float sf[120];
+  uint16_t sfwb[120];  // qwire capture: pow2sf index | sign<<15 per band
 };
+
+// Quantized-wire capture (codec/qwire.py): while parsing, record each
+// position's quantized integer + scalefactor word, and mark positions whose
+// final float is NOT a plain (+-cbrt[n])*(+-pow2sf[si]) product (PNS, M/S,
+// intensity, pulses, TNS) so the tokenizer ships them as raw f32 words.
+// Single-threaded by design (one parse at a time per process).
+struct QwCapture {
+  int on = 0;
+  const float* base[2] = {nullptr, nullptr};
+  int16_t q[2][1024];
+  uint16_t sfw[2][1024];
+  uint8_t raw[2][1024];
+  // occupancy bitmap: a q/sfw/raw entry is valid for this frame only if
+  // its bit is set — clearing 2x128 B per frame instead of the 10 KB
+  // q/sfw arrays, and giving the tokenizer ctz-based zero-run scans
+  uint64_t act[2][16];
+  int lane_of(const float* coef) const { return coef == base[1] ? 1 : 0; }
+  void set(int lane, int64_t p) { act[lane][p >> 6] |= 1ull << (p & 63); }
+  void mark_raw(int lane, int64_t p) {
+    raw[lane][p] = 1;
+    set(lane, p);
+  }
+  void reset(const float* c0, const float* c1) {
+    base[0] = c0;
+    base[1] = c1;
+    memset(act, 0, sizeof(act));
+    memset(raw, 0, sizeof(raw));
+  }
+};
+static QwCapture g_qw;
 
 // --------------------------------------------------------------- parse ----
 static int parse_ics_info(Bits* b, IcsInfo* ics, int sampling_index) {
@@ -245,7 +317,10 @@ static int parse_scalefactors(Bits* b, Chan* ch, int global_gain) {
       int run_end = ch->band_run_end[idx];
       int bt = ch->band_type[idx];
       if (bt == 0) {  // ZERO
-        for (; i < run_end; i++, idx++) ch->sf[idx] = 0.f;
+        for (; i < run_end; i++, idx++) {
+          ch->sf[idx] = 0.f;
+          ch->sfwb[idx] = 0;
+        }
       } else if (bt == 14 || bt == 15) {  // intensity
         for (; i < run_end; i++, idx++) {
           int d = vlc_get(b, vlc_sf);
@@ -253,6 +328,7 @@ static int parse_scalefactors(Bits* b, Chan* ch, int global_gain) {
           offset[2] += d - 60;
           if ((unsigned)offset[2] > 255u) return -1;
           ch->sf[idx] = ht_pow2sf[-offset[2] + 300];
+          ch->sfwb[idx] = (uint16_t)((-offset[2] + 300) | 0x8000);
         }
       } else if (bt == 13) {  // noise
         for (; i < run_end; i++, idx++) {
@@ -265,6 +341,7 @@ static int parse_scalefactors(Bits* b, Chan* ch, int global_gain) {
           }
           if ((unsigned)offset[1] > 255u) return -1;
           ch->sf[idx] = -ht_pow2sf[offset[1] + sf_off + 100];
+          ch->sfwb[idx] = (uint16_t)(offset[1] + sf_off + 100);
         }
       } else {
         for (; i < run_end; i++, idx++) {
@@ -273,6 +350,7 @@ static int parse_scalefactors(Bits* b, Chan* ch, int global_gain) {
           offset[0] += d - 60;
           if ((unsigned)offset[0] > 255u) return -1;
           ch->sf[idx] = -ht_pow2sf[offset[0] + sf_off];
+          ch->sfwb[idx] = (uint16_t)(offset[0] + sf_off);
         }
       }
     }
@@ -335,6 +413,8 @@ static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
   const int* offsets = ics->swb_offset;
   int idx = 0;
   float* gbase = coef;
+  const int qcap = g_qw.on;
+  const int qlane = qcap ? g_qw.lane_of(coef) : 0;
   for (int g = 0; g < ics->num_window_groups; g++) {
     int g_len = ics->group_len[g];
     for (int i = 0; i < ics->max_sfb; i++, idx++) {
@@ -353,6 +433,11 @@ static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
           for (int k = 0; k < off_len; k++) energy += cfo[k] * cfo[k];
           float scale = ch->sf[idx] / sqrtf(energy);
           for (int k = 0; k < off_len; k++) cfo[k] *= scale;
+          if (qcap) {
+            int64_t p0 = cfo - coef;
+            for (int k = 0; k < off_len; k++)
+              g_qw.mark_raw(qlane, p0 + k);
+          }
         }
       } else {
         const Vlc& v = vlc_spec[bt];
@@ -361,31 +446,101 @@ static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
         int dim = cb_dim[bt];
         int sgn = cb_signed[bt];
         float s = ch->sf[idx];
+        uint16_t sw = ch->sfwb[idx];
+        int16_t* qq = g_qw.q[qlane];
+        uint16_t* qs = g_qw.sfw[qlane];
+        // register-resident bit cursor: the serial pos->window->LUT->pos
+        // chain is the whole decode's critical path, so keep it out of
+        // memory across symbols (the reference's OPEN_READER/CLOSE_READER
+        // discipline, get_bits.h:100-330)
+        int64_t pos = b->pos;
+        const uint8_t* buf = b->buf;
+        const int64_t nbits = b->nbits;
+        auto wnd = [&](int64_t at) -> uint64_t {
+          int64_t byte = at >> 3;
+          uint64_t x;
+          if (__builtin_expect((byte + 8) * 8 <= nbits, 1)) {
+            memcpy(&x, buf + byte, 8);
+            x = __builtin_bswap64(x);
+          } else {
+            x = 0;
+            for (int i = 0; i < 8; i++) {
+              uint64_t c = (byte + i) * 8 < nbits ? buf[byte + i] : 0;
+              x = (x << 8) | c;
+            }
+          }
+          return x << (at & 7);
+        };
         for (int grp = 0; grp < g_len; grp++) {
           float* cf = gbase + grp * 128 + off;
           for (int k = 0; k < off_len; k += dim) {
-            // one 64-bit window serves the code AND its sign bits
-            // (max_bits <= 19 plus <= 4 signs, well under the 57 valid)
-            uint64_t w = peek64(*b);
-            uint32_t pre = (uint32_t)(w >> (64 - v.max_bits));
+            // one 64-bit window serves the code, its sign bits and (re-
+            // windowed when needed) the cb11 escape sequences
+            uint64_t w = wnd(pos);
+            uint32_t pre = (uint32_t)(w >> (64 - v.lb));
             int32_t e = v.ent[pre];
+            if (__builtin_expect(e < 0, 0)) {
+              int extra = (-e) & 31;
+              int64_t soff = (-e) >> 5;
+              uint32_t si = (uint32_t)((w >> (64 - v.lb - extra))
+                                       & ((1u << extra) - 1));
+              e = v.sub[soff + si];
+            }
             int code = e & 0xFFFF;
-            if (code == 0xFFFF) return -1;
+            if (code == 0xFFFF) {
+              b->pos = pos;
+              return -1;
+            }
             int clen = e >> 16;
             const int8_t* tv = vals + code * dim;
             if (sgn) {
-              b->pos += clen;
+              pos += clen;
               for (int d = 0; d < dim; d++) {
                 int av = tv[d] < 0 ? -tv[d] : tv[d];
                 float mag = ht_cbrt[av];
                 cf[k + d] = (tv[d] < 0 ? -mag : mag) * s;
+                if (qcap && tv[d]) {
+                  int64_t p = (cf - coef) + k + d;
+                  qq[p] = (int16_t)tv[d];
+                  qs[p] = sw;
+                  g_qw.set(qlane, p);
+                }
               }
+            } else if (dim == 2 && __builtin_expect(
+                           bt != 11 || (tv[0] != 16 && tv[1] != 16), 1)) {
+              // branchless unsigned pair (cb 7-10 + non-escape cb11):
+              // sign bits for nonzero values first (aacdec.c:1085-1174).
+              // Data-dependent branches mispredict on ~random spectra;
+              // masked selects keep the pipeline full.
+              int nz = nzs[code];
+              // top nz bits of (w << clen); shift counts clamped so nz=0
+              // stays defined (results are masked by nz0/nz1 anyway)
+              uint32_t sbits = (uint32_t)((w << clen) >> 33) >> (31 - nz);
+              int v0 = tv[0], v1 = tv[1];
+              int nz0 = v0 != 0, nz1 = v1 != 0;
+              int neg0 = (int)(sbits >> ((nz - 1) & 31)) & nz0;
+              int neg1 = (int)(sbits >> ((nz - nz0 - 1) & 31)) & nz1;
+              float m0 = ht_cbrt[v0], m1 = ht_cbrt[v1];
+              cf[k] = (neg0 ? -m0 : m0) * s;
+              cf[k + 1] = (neg1 ? -m1 : m1) * s;
+              if (qcap) {
+                int64_t p = (cf - coef) + k;
+                qq[p] = (int16_t)(neg0 ? -v0 : v0);
+                qq[p + 1] = (int16_t)(neg1 ? -v1 : v1);
+                qs[p] = sw;
+                qs[p + 1] = sw;
+                uint64_t* aw = &g_qw.act[qlane][p >> 6];
+                // pair never straddles a 64-bit word (k even, dim 2)
+                *aw |= ((uint64_t)nz0 << (p & 63))
+                       | ((uint64_t)nz1 << ((p + 1) & 63));
+              }
+              pos += clen + nz;
             } else {
-              // sign bits for nonzero values first (aacdec.c:1085-1174)
+              // generic unsigned path (cb 3/4 quads + cb11 escapes)
               int nz = nzs[code];
               uint32_t sbits =
                   nz ? (uint32_t)((w << clen) >> (64 - nz)) : 0;
-              b->pos += clen + nz;
+              int used = clen + nz;
               int bit = nz;
               for (int d = 0; d < dim; d++) {
                 int vv = tv[d];
@@ -394,19 +549,38 @@ static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
                   continue;
                 }
                 bit--;
-                if (bt == 11 && vv == 16) {  // escape
-                  int n = 0;
-                  while (getbit(b)) n++;
-                  if (n > 8) return -1;
-                  n += 4;
-                  vv = (1 << n) + (int)getbits(b, n);
+                if (bt == 11 && vv == 16) {  // escape (aacdec.c:1177-1207)
+                  if (used > 34) {  // re-window: 2nd escape can pass bit 57
+                    pos += used;
+                    used = 0;
+                    w = wnd(pos);
+                  }
+                  uint64_t u = w << used;
+                  int n1 = u == ~0ull ? 64 : __builtin_clzll(~u);
+                  if (n1 > 8) {
+                    b->pos = pos;
+                    return -1;
+                  }
+                  int n = n1 + 4;
+                  used += n1 + 1;
+                  vv = (1 << n) + (int)((w << used) >> (64 - n));
+                  used += n;
                 }
                 float mag = ht_cbrt[vv];
-                cf[k + d] = (((sbits >> bit) & 1) ? -mag : mag) * s;
+                int neg = (sbits >> bit) & 1;
+                cf[k + d] = (neg ? -mag : mag) * s;
+                if (qcap) {
+                  int64_t p = (cf - coef) + k + d;
+                  qq[p] = (int16_t)(neg ? -vv : vv);
+                  qs[p] = sw;
+                  g_qw.set(qlane, p);
+                }
               }
+              pos += used;
             }
           }
         }
+        b->pos = pos;
       }
     }
     gbase += g_len * 128;
@@ -428,6 +602,7 @@ static void apply_pulses(float* coef, const Chan* ch, const int* pos,
         ico = co / sqrtf(sqrtf(fabsf(co))) + (co > 0 ? -ico : ico);
       }
       coef[pos[i]] = cbrtf(fabsf(ico)) * ico * ch->sf[idx];
+      if (g_qw.on) g_qw.mark_raw(g_qw.lane_of(coef), pos[i]);
     }
   }
 }
@@ -436,6 +611,12 @@ static void apply_pulses(float* coef, const Chan* ch, const int* pos,
 static void apply_tns(float* coef, Chan* ch) {
   IcsInfo* ics = &ch->ics;
   Tns* t = &ch->tns;
+  // the IIR rewrites arbitrary spans; ship the whole lane raw (rare)
+  if (g_qw.on) {
+    int ql = g_qw.lane_of(coef);
+    memset(g_qw.raw[ql], 1, 1024);
+    memset(g_qw.act[ql], 0xFF, sizeof(g_qw.act[ql]));
+  }
   int mmm = ics->tns_max_bands < ics->max_sfb ? ics->tns_max_bands
                                               : ics->max_sfb;
   for (int w = 0; w < ics->num_windows; w++) {
@@ -613,6 +794,11 @@ int ht_parse_cpe(const uint8_t* buf, int64_t nbits, int64_t* pos,
               float bb = c1[grp * 128 + k];
               c0[grp * 128 + k] = a + bb;
               c1[grp * 128 + k] = a - bb;
+              if (g_qw.on) {
+                int64_t p = (c0 - coeffs0) + grp * 128 + k;
+                g_qw.mark_raw(0, p);
+                g_qw.mark_raw(1, p);
+              }
             }
           }
         }
@@ -636,8 +822,11 @@ int ht_parse_cpe(const uint8_t* buf, int64_t nbits, int64_t* pos,
             if (ms_present) c *= 1 - 2 * ms_mask[idx];
             float scale = (float)c * ch1.sf[idx];
             for (int grp = 0; grp < ch1.ics.group_len[g]; grp++)
-              for (int k = offsets[i]; k < offsets[i + 1]; k++)
+              for (int k = offsets[i]; k < offsets[i + 1]; k++) {
                 c1[grp * 128 + k] = scale * c0[grp * 128 + k];
+                if (g_qw.on)
+                  g_qw.mark_raw(1, (c1 - coeffs1) + grp * 128 + k);
+              }
           }
         } else {
           int end = ch1.band_run_end[idx];
