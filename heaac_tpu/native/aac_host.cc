@@ -246,6 +246,78 @@ struct QwCapture {
 };
 static QwCapture g_qw;
 
+// Direct token emission (the fast path): for long-window SCE frames with
+// no TNS/pulses, spectral decode order equals output order, so the
+// coefficient tokens are emitted inline during parse_spectrum — no capture
+// stores, no second tokenizer pass.  Cross-tuple PAIR/QUAD packing is lost
+// (a few bytes per frame); decode semantics are identical.
+struct QwDirect {
+  uint8_t* tok = nullptr;   // caller scratch
+  uint8_t* ext = nullptr;
+  int nt = 0, ne = 0;
+  int pos = 0;              // next output position not yet covered
+  int cur_sf = -1;
+  void zrun_to(int p) {
+    int n = p - pos;
+    while (n > 0) {
+      int s = n > 64 ? 64 : n;
+      tok[nt++] = (uint8_t)s;
+      n -= s;
+    }
+    pos = p;
+  }
+  void set_sf(uint16_t sw) {
+    if ((int)sw != cur_sf) {
+      cur_sf = sw;
+      tok[nt++] = 0x94;
+      ext[ne++] = (uint8_t)(sw & 0xFF);
+      ext[ne++] = (uint8_t)(sw >> 8);
+    }
+  }
+  void value(int v) {  // emit one value token at pos (sf already set)
+    int av = v < 0 ? -v : v;
+    if (av >= 4 && av <= 19) {
+      tok[nt++] = (uint8_t)(0x72 + ((v < 0) << 4) + (av - 4));
+    } else if (av <= 127) {
+      tok[nt++] = 0x92;
+      ext[ne++] = (uint8_t)(v & 0xFF);
+    } else {
+      tok[nt++] = 0x93;
+      ext[ne++] = (uint8_t)(v & 0xFF);
+      ext[ne++] = (uint8_t)((v >> 8) & 0xFF);
+    }
+    pos++;
+  }
+  void pair(int v0, int v1) {  // |v| <= 3 both, same sf, two positions
+    tok[nt++] = (uint8_t)(0x41 + (v0 + 3) * 7 + (v1 + 3));
+    pos += 2;
+  }
+  void raw_span(const float* src, int n) {  // n raw f32 values at pos
+    while (n > 0) {
+      int c = n > 4 ? 4 : n;
+      tok[nt++] = (uint8_t)(0x94 + c);
+      memcpy(ext + ne, src, 4 * c);
+      ne += 4 * c;
+      src += c;
+      n -= c;
+      pos += c;
+    }
+  }
+};
+static QwDirect* g_qwd = nullptr;      // active during parse_spectrum
+static QwDirect* g_qwd_arm = nullptr;  // candidate for the next SCE parse
+
+static inline void hh_arm_direct(QwDirect* d) {
+  g_qwd_arm = d;
+  g_qwd = nullptr;
+}
+static inline int hh_disarm_direct() {
+  g_qwd_arm = nullptr;
+  int used = g_qwd != nullptr;
+  g_qwd = nullptr;
+  return used;
+}
+
 // --------------------------------------------------------------- parse ----
 static int parse_ics_info(Bits* b, IcsInfo* ics, int sampling_index) {
   if (getbit(b)) return -1;  // reserved
@@ -413,7 +485,8 @@ static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
   const int* offsets = ics->swb_offset;
   int idx = 0;
   float* gbase = coef;
-  const int qcap = g_qw.on;
+  QwDirect* qd = g_qwd;
+  const int qcap = g_qw.on && !qd;
   const int qlane = qcap ? g_qw.lane_of(coef) : 0;
   for (int g = 0; g < ics->num_window_groups; g++) {
     int g_len = ics->group_len[g];
@@ -437,6 +510,9 @@ static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
             int64_t p0 = cfo - coef;
             for (int k = 0; k < off_len; k++)
               g_qw.mark_raw(qlane, p0 + k);
+          } else if (qd) {
+            qd->zrun_to((int)(cfo - coef));
+            qd->raw_span(cfo, off_len);
           }
         }
       } else {
@@ -495,15 +571,50 @@ static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
             const int8_t* tv = vals + code * dim;
             if (sgn) {
               pos += clen;
+              int nzany = 0;
               for (int d = 0; d < dim; d++) {
                 int av = tv[d] < 0 ? -tv[d] : tv[d];
                 float mag = ht_cbrt[av];
                 cf[k + d] = (tv[d] < 0 ? -mag : mag) * s;
+                nzany |= tv[d];
                 if (qcap && tv[d]) {
                   int64_t p = (cf - coef) + k + d;
                   qq[p] = (int16_t)tv[d];
                   qs[p] = sw;
                   g_qw.set(qlane, p);
+                }
+              }
+              if (qd && nzany) {
+                int base = (int)(cf - coef) + k;
+                if (dim == 4 && tv[0] >= -1 && tv[0] <= 1 && tv[1] >= -1
+                    && tv[1] <= 1 && tv[2] >= -1 && tv[2] <= 1
+                    && tv[3] >= -1 && tv[3] <= 1) {
+                  qd->zrun_to(base);
+                  qd->set_sf(sw);
+                  qd->tok[qd->nt++] = (uint8_t)(
+                      0x99 + (tv[0] + 1) + 3 * (tv[1] + 1)
+                      + 9 * (tv[2] + 1) + 27 * (tv[3] + 1));
+                  qd->pos += 4;
+                } else {
+                  for (int d = 0; d < dim; d += 2) {
+                    int a = tv[d], bb = d + 1 < dim ? tv[d + 1] : 0;
+                    if (!a && !bb) continue;
+                    qd->set_sf(sw);
+                    if (d + 1 < dim && a >= -3 && a <= 3 && bb >= -3
+                        && bb <= 3) {
+                      qd->zrun_to(base + d);
+                      qd->pair(a, bb);
+                    } else {
+                      if (a) {
+                        qd->zrun_to(base + d);
+                        qd->value(a);
+                      }
+                      if (bb) {
+                        qd->zrun_to(base + d + 1);
+                        qd->value(bb);
+                      }
+                    }
+                  }
                 }
               }
             } else if (dim == 2 && __builtin_expect(
@@ -533,6 +644,24 @@ static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
                 // pair never straddles a 64-bit word (k even, dim 2)
                 *aw |= ((uint64_t)nz0 << (p & 63))
                        | ((uint64_t)nz1 << ((p + 1) & 63));
+              } else if (qd && (nz0 | nz1)) {
+                int base = (int)(cf - coef) + k;
+                int sv0 = neg0 ? -v0 : v0;
+                int sv1 = neg1 ? -v1 : v1;
+                qd->set_sf(sw);
+                if (v0 <= 3 && v1 <= 3) {
+                  qd->zrun_to(base);
+                  qd->pair(sv0, sv1);
+                } else {
+                  if (nz0) {
+                    qd->zrun_to(base);
+                    qd->value(sv0);
+                  }
+                  if (nz1) {
+                    qd->zrun_to(base + 1);
+                    qd->value(sv1);
+                  }
+                }
               }
               pos += clen + nz;
             } else {
@@ -574,6 +703,10 @@ static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
                   qq[p] = (int16_t)(neg ? -vv : vv);
                   qs[p] = sw;
                   g_qw.set(qlane, p);
+                } else if (qd) {
+                  qd->zrun_to((int)(cf - coef) + k + d);
+                  qd->set_sf(sw);
+                  qd->value(neg ? -vv : vv);
                 }
               }
               pos += used;
@@ -680,7 +813,21 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
     if (parse_tns(b, ch)) return -1;
   }
   if (getbit(b)) return -2;  // SSR
-  if (parse_spectrum(b, ch, coef, rng)) return -1;
+  // direct token emission only when decode order == output order and no
+  // post-pass rewrites coefficients (long window, no TNS, no pulses)
+  g_qwd = (g_qwd_arm && ch->ics.num_window_groups == 1
+           && ch->ics.num_windows == 1 && !ch->tns.present && !pulse_count)
+              ? g_qwd_arm
+              : nullptr;
+  if (g_qwd) {
+    g_qwd->nt = g_qwd->ne = 0;
+    g_qwd->pos = 0;
+    g_qwd->cur_sf = -1;
+  }
+  if (parse_spectrum(b, ch, coef, rng)) {
+    g_qwd = nullptr;
+    return -1;
+  }
   if (pulse_count) apply_pulses(coef, ch, pulse_pos, pulse_amp, pulse_count);
   return 0;
 }
