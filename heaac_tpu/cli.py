@@ -15,10 +15,60 @@ import sys
 import time
 
 
+def probe(data: bytes) -> dict:
+    """Inspect an ADTS stream without decoding it (the ffprobe.c analogue):
+    configuration from the headers plus a cheap scan of the first frames'
+    element layout for SBR/PS fill data (aacdec.c:1650 ext payload ids)."""
+    from .bitstream.adts import parse_adts_header, split_adts_stream
+    from .bitstream.reader import BitReader
+
+    frames = split_adts_stream(data)
+    hdr = parse_adts_header(BitReader(frames[0][:7]))
+    # SBR/PS presence: look for a FIL extension payload with
+    # EXT_SBR_DATA(_CRC) (0xD/0xE) in the first frames; PS implies
+    # chan_config 1 + the PS extension inside the SBR payload, detected
+    # conservatively via the sbr syntax reader on one frame
+    sbr = ps = False
+    ext_rate = hdr.sample_rate
+    try:
+        from .codec.batch import QwirePlanningDecoder
+        dec = QwirePlanningDecoder(adts_probe=frames[0][:7])
+        dec.decode_frame(frames[0])
+        if len(frames) > 1:
+            dec.decode_frame(frames[1])
+        m = dec.m4ac
+        sbr = m.sbr == 1
+        ps = m.ps == 1
+        if sbr:
+            ext_rate = m.ext_sample_rate or 2 * m.sample_rate
+    except Exception:
+        pass
+    dur = len(frames) * (2048 if sbr and ext_rate > hdr.sample_rate
+                         else 1024) / max(ext_rate, 1)
+    return dict(
+        format="adts",
+        object_type=hdr.object_type,
+        profile={1: "Main", 2: "LC", 3: "SSR", 4: "LTP"}.get(
+            hdr.object_type, str(hdr.object_type)),
+        core_sample_rate=hdr.sample_rate,
+        output_sample_rate=ext_rate,
+        channel_config=hdr.chan_config,
+        sbr=sbr, ps=ps,
+        codec=("HE-AACv2" if ps else "HE-AAC" if sbr else "AAC"),
+        frames=len(frames),
+        duration_s=round(dur, 3),
+        bit_rate=round(8 * len(data) / dur) if dur else 0,
+    )
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tpuaac")
     ap.add_argument("-i", "--input", required=True, help="input ADTS file")
-    ap.add_argument("output", help="output .wav or raw pcm path")
+    ap.add_argument("output", nargs="?", default=None,
+                    help="output .wav or raw pcm path")
+    ap.add_argument("--probe", action="store_true",
+                    help="print stream info as JSON without decoding "
+                         "(ffprobe analogue)")
     ap.add_argument("-f", "--format", choices=("wav", "s16le"), default=None)
     ap.add_argument("--benchmark", action="store_true",
                     help="print timing metrics to stderr")
@@ -41,6 +91,11 @@ def main(argv=None) -> int:
         print("error: input does not look like an ADTS stream",
               file=sys.stderr)
         return 1
+    if args.probe:
+        print(json.dumps(probe(data), indent=2))
+        return 0
+    if args.output is None:
+        ap.error("output path required (or use --probe)")
 
     from .bitstream.adts import parse_adts_header, split_adts_stream
     from .bitstream.reader import BitReader

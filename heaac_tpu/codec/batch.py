@@ -486,6 +486,8 @@ class QwirePipelinedDecoder:
         return self._bufsets[bufset]
 
     def _parse_group(self, group: list, bufset: int):
+        import ctypes as C
+
         from .. import native
         from ..utils.metrics import log
         qwire = self.qwire
@@ -493,19 +495,32 @@ class QwirePipelinedDecoder:
         recs[:] = self._sil_recs
         cur = len(self._sil_payload)
         native_ok = native.available()
+        if native_ok:
+            # hoist ctypes marshaling out of the per-stream loop (the
+            # wrapper's per-call conversions cost ~1 us/frame at B=2048)
+            L = native.lib()
+            fn = L.hh_parse_he_stream_qwire
+            heap_p = heap.ctypes.data_as(C.POINTER(C.c_uint8))
+            recs_p = recs.ctypes.data_as(C.POINTER(C.c_int32))
+            info = np.zeros(4, np.int32)
+            info_p = info.ctypes.data_as(C.POINTER(C.c_int32))
+            cur_c = C.c_int64(cur)
+            cur_ref = C.byref(cur_c)
+            si, sr = self.hdr.sampling_index, self.hdr.sample_rate
+            cc, stride, T = self.hdr.chan_config, recs.shape[1], self.T
         for gi, data in enumerate(group):
             lane0 = gi * self.nl
             if native_ok:
-                r = native.parse_he_stream_qwire_into(
-                    data, self.hdr.sampling_index, self.hdr.sample_rate,
-                    self.hdr.chan_config, heap, cur, recs, lane0, self.T)
-                if r is not None:
-                    nf, cur, info = r
+                nf = fn(data, len(data), si, sr, cc, heap_p, heap.nbytes,
+                        cur_ref, recs_p, T, stride, lane0, info_p)
+                if nf >= 0:
+                    cur = int(cur_c.value)
                     self.frame_counts.append(nf)
                     if nf < self.T:
                         recs[nf:, lane0:lane0 + self.nl] = \
                             self._sil_recs[nf:, lane0:lane0 + self.nl]
                     continue
+                cur_c.value = cur  # rewind any partial native writes
             log.info("qwire pipelined decode: stream %d fell back to the "
                      "Python planner", gi)
             frames_q, *_ = parse_stream_qwire(data, max_frames=self.T)
@@ -519,6 +534,8 @@ class QwirePipelinedDecoder:
                         payload, np.uint8)
                     cur += len(payload)
                     recs[t, lane0 + ln] = r2
+            if native_ok:
+                cur_c.value = cur
         maxtok = int(recs[:, :, qwire.R_NTOK].max())
         if maxtok > self.S:   # pathological stream: widen + recompile
             self.S = -(-maxtok // 64) * 64
@@ -527,23 +544,21 @@ class QwirePipelinedDecoder:
     def decode(self):
         """Parse + upload + decode all streams, pipelined by group.
 
+        The host parse of group g+1 overlaps BOTH the upload and the device
+        decode of group g: device_put runs on a worker thread (the transfer
+        and the native parse each release the GIL), which matters once the
+        tunnel's per-process burst budget is spent and transfers drop to
+        the ~45 MB/s sustained rate.
+
         Returns device pcm arrays [T, L, 2, 2048] (one per group); blocks
         until the last group is done."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import jax
 
         from .heaac_graph import init_qwire_carry, qwire_scan_decoder
-        outs = []
-        n = len(self.streams)
-        self.frame_counts = []
-        for gidx, g0 in enumerate(range(0, n, self.G)):
-            group = self.streams[g0:g0 + self.G]
-            if len(group) < self.G:
-                group = group + self.streams[:self.G - len(group)]
-            if gidx >= 2:
-                # staging set gidx%2 was read by group gidx-2: wait for
-                # that group's transfers/decode before overwriting
-                jax.block_until_ready(outs[gidx - 2])
-            heap, cur, recs = self._parse_group(group, gidx % 2)
+
+        def upload_and_dispatch(heap, cur, recs):
             if self._upload_w is None:
                 self._upload_w = min((cur + 3) // 4 + 65536, self._cap // 4)
             while (cur + 3) // 4 > self._upload_w:  # grow (rare)
@@ -553,7 +568,25 @@ class QwirePipelinedDecoder:
             carry = init_qwire_carry(self.L)
             _, pcm = run(jax.device_put(heap_w),
                          jax.device_put(recs.view(np.float32)), carry)
-            outs.append(pcm)
+            return pcm
+
+        outs = []
+        n = len(self.streams)
+        self.frame_counts = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            futs = []
+            for gidx, g0 in enumerate(range(0, n, self.G)):
+                group = self.streams[g0:g0 + self.G]
+                if len(group) < self.G:
+                    group = group + self.streams[:self.G - len(group)]
+                if gidx >= 2:
+                    # staging set gidx%2 was read by group gidx-2: wait
+                    # for its upload+decode before overwriting the arrays
+                    jax.block_until_ready(futs[gidx - 2].result())
+                heap, cur, recs = self._parse_group(group, gidx % 2)
+                futs.append(pool.submit(upload_and_dispatch, heap, cur,
+                                        recs))
+            outs = [f.result() for f in futs]
         jax.block_until_ready(outs[-1])
         self.frame_counts = self.frame_counts[:n]
         return outs

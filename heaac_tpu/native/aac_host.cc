@@ -549,7 +549,116 @@ static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
         };
         for (int grp = 0; grp < g_len; grp++) {
           float* cf = gbase + grp * 128 + off;
-          for (int k = 0; k < off_len; k += dim) {
+          int k = 0;
+          // two pair-codes per 64-bit window for the hot unsigned-pair
+          // books: a code + signs tops out at 21 bits, so two fit in the
+          // 57 valid bits and the serial pos->load->bswap chain halves
+          if (dim == 2 && !sgn && bt != 11) {
+            for (; k + 4 <= off_len; k += 4) {
+              uint64_t w = wnd(pos);
+              uint32_t pre = (uint32_t)(w >> (64 - v.lb));
+              int32_t e = v.ent[pre];
+              if (__builtin_expect(e < 0, 0)) {
+                int extra = (-e) & 31;
+                int64_t soff = (-e) >> 5;
+                uint32_t si = (uint32_t)((w >> (64 - v.lb - extra))
+                                         & ((1u << extra) - 1));
+                e = v.sub[soff + si];
+              }
+              int code = e & 0xFFFF;
+              if (code == 0xFFFF) {
+                b->pos = pos;
+                return -1;
+              }
+              int clen = e >> 16;
+              const int8_t* tv = vals + code * 2;
+              int nz = nzs[code];
+              uint32_t sbits = (uint32_t)((w << clen) >> 33) >> (31 - nz);
+              int v0 = tv[0], v1 = tv[1];
+              int nz0 = v0 != 0, nz1 = v1 != 0;
+              int neg0 = (int)(sbits >> ((nz - 1) & 31)) & nz0;
+              int neg1 = (int)(sbits >> ((nz - nz0 - 1) & 31)) & nz1;
+              float m0 = ht_cbrt[v0], m1 = ht_cbrt[v1];
+              cf[k] = (neg0 ? -m0 : m0) * s;
+              cf[k + 1] = (neg1 ? -m1 : m1) * s;
+              int used = clen + nz;
+              // second code from the same window
+              uint64_t w2 = w << used;
+              uint32_t pre2 = (uint32_t)(w2 >> (64 - v.lb));
+              int32_t e2 = v.ent[pre2];
+              if (__builtin_expect(e2 < 0, 0)) {
+                int extra = (-e2) & 31;
+                int64_t soff = (-e2) >> 5;
+                uint32_t si = (uint32_t)((w2 >> (64 - v.lb - extra))
+                                         & ((1u << extra) - 1));
+                e2 = v.sub[soff + si];
+              }
+              int code2 = e2 & 0xFFFF;
+              if (code2 == 0xFFFF) {
+                b->pos = pos;
+                return -1;
+              }
+              int clen2 = e2 >> 16;
+              const int8_t* tw = vals + code2 * 2;
+              int nzB = nzs[code2];
+              uint32_t sbits2 =
+                  (uint32_t)((w2 << clen2) >> 33) >> (31 - nzB);
+              int v2 = tw[0], v3 = tw[1];
+              int nz2 = v2 != 0, nz3 = v3 != 0;
+              int neg2 = (int)(sbits2 >> ((nzB - 1) & 31)) & nz2;
+              int neg3 = (int)(sbits2 >> ((nzB - nz2 - 1) & 31)) & nz3;
+              float m2 = ht_cbrt[v2], m3 = ht_cbrt[v3];
+              cf[k + 2] = (neg2 ? -m2 : m2) * s;
+              cf[k + 3] = (neg3 ? -m3 : m3) * s;
+              pos += used + clen2 + nzB;
+              if (qcap) {
+                int64_t pp = (cf - coef) + k;
+                qq[pp] = (int16_t)(neg0 ? -v0 : v0);
+                qq[pp + 1] = (int16_t)(neg1 ? -v1 : v1);
+                qq[pp + 2] = (int16_t)(neg2 ? -v2 : v2);
+                qq[pp + 3] = (int16_t)(neg3 ? -v3 : v3);
+                qs[pp] = qs[pp + 1] = qs[pp + 2] = qs[pp + 3] = sw;
+                uint64_t* aw = &g_qw.act[qlane][pp >> 6];
+                *aw |= (((uint64_t)nz0) | ((uint64_t)nz1 << 1)
+                        | ((uint64_t)nz2 << 2) | ((uint64_t)nz3 << 3))
+                       << (pp & 63);
+              } else if (qd && (nz0 | nz1 | nz2 | nz3)) {
+                int base = (int)(cf - coef) + k;
+                qd->set_sf(sw);
+                if (nz0 | nz1) {
+                  if (v0 <= 3 && v1 <= 3) {
+                    qd->zrun_to(base);
+                    qd->pair(neg0 ? -v0 : v0, neg1 ? -v1 : v1);
+                  } else {
+                    if (nz0) {
+                      qd->zrun_to(base);
+                      qd->value(neg0 ? -v0 : v0);
+                    }
+                    if (nz1) {
+                      qd->zrun_to(base + 1);
+                      qd->value(neg1 ? -v1 : v1);
+                    }
+                  }
+                }
+                if (nz2 | nz3) {
+                  if (v2 <= 3 && v3 <= 3) {
+                    qd->zrun_to(base + 2);
+                    qd->pair(neg2 ? -v2 : v2, neg3 ? -v3 : v3);
+                  } else {
+                    if (nz2) {
+                      qd->zrun_to(base + 2);
+                      qd->value(neg2 ? -v2 : v2);
+                    }
+                    if (nz3) {
+                      qd->zrun_to(base + 3);
+                      qd->value(neg3 ? -v3 : v3);
+                    }
+                  }
+                }
+              }
+            }
+          }
+          for (; k < off_len; k += dim) {
             // one 64-bit window serves the code, its sign bits and (re-
             // windowed when needed) the cb11 escape sequences
             uint64_t w = wnd(pos);
