@@ -543,8 +543,12 @@ class AacEncoder:
                                 -MAX_QUANT, MAX_QUANT)
                 cbs[b] = _codebook_for(qs[b])
         global_gain = int(sfs[coded[0]]) if len(coded) else 100
+        bits = self._count_ics_bits(an, sfs, qs, cbs, global_gain)
+        return dict(sfs=sfs, qs=qs, cbs=cbs, global_gain=global_gain,
+                    bits=bits)
 
-        # exact ICS bit count (mirror of _emit_ics)
+    def _count_ics_bits(self, an, sfs, qs, cbs, global_gain) -> int:
+        """Exact ICS bit count (mirror of _emit_ics)."""
         nb, ngroups, is8 = an["nb"], an["ngroups"], an["is8"]
         bits = 8 + 1 + 2 + 1                      # gg + ics_info head
         bits += (4 + 7) if is8 else 6
@@ -572,8 +576,95 @@ class AacEncoder:
         for i in range(ngroups * nb):
             if cbs[i]:
                 bits += _band_bits(qs[i], int(cbs[i]))
-        return dict(sfs=sfs, qs=qs, cbs=cbs, global_gain=global_gain,
-                    bits=bits)
+        return bits
+
+    def _refine_twoloop(self, an, co: dict, budget: int) -> dict:
+        """Scalefactor refinement (aaccoder.c:381 search_for_quantizers_
+        twoloop outer-loop analogue): after the rate loop fixes the global
+        quality, greedily spend the remaining bit headroom lowering the
+        scalefactor (finer quantization) of whichever coded band has the
+        worst quantization-noise-to-masking-threshold ratio, re-counting
+        exact bits each step and respecting the +-60 sf-delta rule."""
+        bands, sf_bias = an["bands"], an["sf_bias"]
+        # operate against the rate loop's effective thresholds (thr0 *
+        # lambda) — at constrained rates lambda, not the masking curve, is
+        # the binding constraint
+        thr = np.maximum(np.asarray(an["thr0"], np.float64) * self.lam,
+                         1e-30)
+        sfs = co["sfs"].copy()
+        qs = list(co["qs"])
+        cbs = co["cbs"].copy()
+        bits = co["bits"]
+
+        def noise(i, sf):
+            c = bands[i]
+            q = np.clip(_quantize(c, sf, sf_bias), -MAX_QUANT, MAX_QUANT)
+            return float(((c - _dequantize(q, sf, sf_bias)) ** 2).sum()), q
+
+        cur = np.full(len(bands), -1.0)
+        for i in range(len(bands)):
+            if cbs[i]:
+                cur[i], _ = noise(i, int(sfs[i]))
+
+        def apply(moves):
+            """moves: {band: sf_delta} -> (sfs, qs, cbs, bits, noises) or
+            None if illegal (delta-60 / invalid codebook)."""
+            t_sfs = sfs.copy()
+            t_qs = list(qs)
+            t_cbs = cbs.copy()
+            t_n = {}
+            for i, dlt in moves.items():
+                t_sfs[i] = int(np.clip(t_sfs[i] + dlt, 0, 255))
+                n, q = noise(i, int(t_sfs[i]))
+                cb = _codebook_for(q)
+                if cb == 0 and dlt < 0:
+                    return None
+                t_qs[i] = q
+                t_cbs[i] = cb
+                t_n[i] = n
+            coded = np.nonzero(t_cbs)[0]
+            if not len(coded):
+                return None
+            if any(abs(int(t_sfs[coded[j]]) - int(t_sfs[coded[j - 1]])) > 60
+                   for j in range(1, len(coded))):
+                return None
+            gg = int(t_sfs[coded[0]])
+            t_bits = self._count_ics_bits(an, t_sfs, t_qs, t_cbs, gg)
+            return t_sfs, t_qs, t_cbs, t_bits, t_n
+
+        blocked: set = set()
+        for _ in range(64):
+            ratio = np.where(cbs > 0, cur / thr[:len(cur)], -1.0)
+            for i in blocked:
+                ratio[i] = -1.0
+            w = int(np.argmax(ratio))
+            if ratio[w] <= 0.0 or sfs[w] <= 0:
+                break  # every band blocked or nothing coded
+            # refine alone if the reservoir headroom allows it
+            t = apply({w: -1})
+            if t is not None and t[3] <= budget and t[4][w] < cur[w]:
+                sfs, qs, cbs, bits, tn = t
+                cur[w] = tn[w]
+                continue
+            # exchange: coarsen the most over-coded donor (noise far under
+            # threshold) to pay for refining the worst band
+            dr = np.where(cbs > 0, cur / thr[:len(cur)], 2.0)
+            dr[w] = 2.0
+            d = int(np.argmin(dr))
+            t = None
+            if dr[d] < 0.25 and sfs[d] < 255:
+                t = apply({w: -1, d: +1})
+            if (t is not None and t[3] <= budget and t[4][w] < cur[w]
+                    and (t[2][d] == 0 or t[4][d] <= thr[d])):
+                sfs, qs, cbs, bits, tn = t
+                cur[w] = tn[w]
+                if d in tn:
+                    cur[d] = tn[d]
+            else:
+                blocked.add(w)
+        coded = np.nonzero(cbs)[0]
+        gg = int(sfs[coded[0]]) if len(coded) else 100
+        return dict(sfs=sfs, qs=qs, cbs=cbs, global_gain=gg, bits=bits)
 
     def _emit_ics(self, bw: BitWriter, an: dict, co: dict,
                   update_state: bool) -> None:
@@ -730,6 +821,15 @@ class AacEncoder:
                             1e-5, 1e7))
                 if best is not None:
                     codeds, self.lam = best[1], best[2]
+                # twoloop refinement: spend the reservoir headroom on the
+                # worst noise/threshold bands (aaccoder.c:381 analogue)
+                budget = int(1.02 * target) - hdr_bits
+                used = sum(c["bits"] for c in codeds)
+                if used < budget:
+                    spare = budget - used
+                    share = spare // max(len(codeds), 1)
+                    codeds = [self._refine_twoloop(an, c, c["bits"] + share)
+                              for an, c in zip(analyses, codeds)]
             frames.append(self._emit_frame(analyses, codeds))
             if self.object_type == 1:
                 self._frame_no += 1
