@@ -435,6 +435,25 @@ class QStreamBatchDecoder:
         return self.L * self.T * (1024 << (not self.ds)) / self.sample_rate
 
 
+def _count_adts_frames(data: bytes) -> int:
+    """Header-only ADTS frame count (resynchronizing walk, no payload
+    slicing)."""
+    n = 0
+    off = 0
+    end = len(data)
+    while off + 7 <= end:
+        if data[off] != 0xFF or (data[off + 1] & 0xF6) != 0xF0:
+            off += 1
+            continue
+        flen = ((data[off + 3] & 3) << 11) | (data[off + 4] << 3) \
+            | (data[off + 5] >> 5)
+        if flen < 7 or off + flen > end:
+            break
+        n += 1
+        off += flen
+    return n
+
+
 class QwirePipelinedDecoder:
     """End-to-end pipelined batched decode over the quantized wire format.
 
@@ -458,7 +477,13 @@ class QwirePipelinedDecoder:
         frames0, rate, nl, is34, ds = parse_stream_qwire(
             self.streams[0], max_frames=max_frames)
         assert nl == self.nl
-        self.T = len(frames0) if max_frames is None else max_frames
+        if max_frames is not None:
+            self.T = max_frames
+        else:
+            # T must cover the LONGEST stream (shorter ones pad with
+            # silence lanes) — truncating to the first stream's length
+            # silently drops audio (round-1 advisor finding)
+            self.T = max(_count_adts_frames(s) for s in self.streams)
         self.sample_rate, self.is34, self.ds = rate, is34, ds
         self.S = token_cap
         self.L = self.G * self.nl
@@ -1093,12 +1118,16 @@ def _decode_bucket(kind, group, idxs, streams, results):
             lanes = pcm[:T_j, j * ch:(j + 1) * ch]   # [T_j, ch, 1024]
             results[i] = lanes.transpose(0, 2, 1).reshape(-1, ch)
     elif kind == "he":
-        bd = StreamBatchDecoder(group)
-        pcm = np.asarray(bd.decode())       # [T, B*lanes, 2, 2048]
-        lps = bd.lanes_per_stream
+        # the end-to-end qwire pipeline: native parse straight into the
+        # wire heap, threaded upload overlap, grouped device scans
+        bd = QwirePipelinedDecoder(group)
+        outs = [np.asarray(o) for o in bd.decode()]
+        lps, G = bd.nl, bd.G
         for j, i in enumerate(idxs):
             T_j = bd.frame_counts[j]
-            lanes = pcm[:T_j, j * lps:(j + 1) * lps]
+            pcm = outs[j // G]
+            lane0 = (j % G) * lps
+            lanes = pcm[:T_j, lane0:lane0 + lps]
             if lps == 1:                     # mono->stereo (PS or dup)
                 results[i] = lanes[:, 0].transpose(0, 2, 1).reshape(-1, 2)
             else:                            # CPE: one channel per lane

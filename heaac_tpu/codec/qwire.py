@@ -46,7 +46,7 @@ Token set (1 byte each):
   0x94        SETSF: ext u16 (LE): bits0-8 pow2sf index, bit15 positive
   0x95-0x98   RAWRUN(n=tok-0x94): 4n ext bytes = n raw f32 (LE) values
   0x99-0xE9   QUAD: c=tok-0x99, v_k = (c // 3**k) % 3 - 1
-  0xEA-0xFF   reserved (noop)
+  0xEA-0xFF   SETSF_DELTA: sf word += tok - 0xF5 (same sign, d in [-11,10])
 """
 from __future__ import annotations
 
@@ -68,6 +68,7 @@ T_RAW0 = 0x94           # RAWRUN n = tok - T_RAW0 (1..4)
 RAW_MAX = 4
 T_QUAD0 = 0x99          # 81 codes
 T_QUAD_END = 0xE9
+T_SFD_BASE = 0xF5       # SETSF_DELTA: d = tok - T_SFD_BASE in [-11, 10]
 
 REC_W = 8               # i32 record words per frame-lane
 R_TOKOFF, R_NTOK, R_NEXT, R_SIDELEN, R_HDRLEN = range(5)
@@ -165,11 +166,17 @@ def emit_coeff_tokens(coef: np.ndarray, q: np.ndarray | None = None,
             ext.extend(np.asarray(coef[p:p + n], np.float32).tobytes())
             p += n
             continue
-        # plain value position: ensure sf in effect
+        # plain value position: ensure sf in effect (1-byte delta when
+        # the sign matches and the index step is small — the common case)
         if int(sfw[p]) != cur_sf:
-            cur_sf = int(sfw[p])
-            toks.append(T_SETSF)
-            ext.extend(int(cur_sf).to_bytes(2, "little"))
+            new_sf = int(sfw[p])
+            d = new_sf - cur_sf if cur_sf >= 0 else 1 << 20
+            if -11 <= d <= 10 and (new_sf & 0x8000) == (cur_sf & 0x8000):
+                toks.append(T_SFD_BASE + d)
+            else:
+                toks.append(T_SETSF)
+                ext.extend(int(new_sf).to_bytes(2, "little"))
+            cur_sf = new_sf
         same = lambda i: (not zero[i]) and (not raw[i]) \
             and int(sfw[i]) == cur_sf
         v = int(q[p])
@@ -407,6 +414,7 @@ def decode_coeffs_jax(heap, tok_off, ntok, S: int):
     is_esc1 = toks == T_ESC1
     is_esc2 = toks == T_ESC2
     is_sf = toks == T_SETSF
+    is_sfd = live & (toks >= 0xEA)
     is_raw = (toks > T_RAW0) & (toks <= T_RAW0 + RAW_MAX)
     is_quad = (toks >= T_QUAD0) & (toks <= T_QUAD_END)
     adv = (jnp.where(is_zrun, toks, 0) + 2 * is_pair + is_sgl + is_esc1
@@ -417,12 +425,17 @@ def decode_coeffs_jax(heap, tok_off, ntok, S: int):
               + jnp.where(is_raw, 4 * (toks - T_RAW0), 0))
     ext0 = tok_off[:, None] + ntok[:, None]
     ext_pos = jnp.cumsum(ext_sz, axis=1) - ext_sz + ext0
-    # scalefactor in effect at each token
+    # scalefactor in effect at each token: the last absolute SETSF's word
+    # plus the SETSF_DELTA sum since it (both prefix-computable)
     sf_at = jnp.where(is_sf, i, -1)
     last_sf = jax.lax.cummax(sf_at, axis=1)
     sf_ext = jnp.take_along_axis(ext_pos, last_sf.clip(0), axis=1)
-    sfw = (heap[sf_ext.clip(0, N - 1)]
-           | (heap[(sf_ext + 1).clip(0, N - 1)] << 8))
+    sfw_abs = (heap[sf_ext.clip(0, N - 1)]
+               | (heap[(sf_ext + 1).clip(0, N - 1)] << 8))
+    dlt = jnp.where(is_sfd, toks - T_SFD_BASE, 0)
+    dcum = jnp.cumsum(dlt, axis=1)
+    dbase = jnp.take_along_axis(dcum, last_sf.clip(0), axis=1)         * (last_sf >= 0)
+    sfw = sfw_abs + dcum - dbase
     sf = jnp.where((sfw >> 15) & 1, 1.0, -1.0) * pow2[sfw & 511]
     sf = sf * (last_sf >= 0)
     # inverse map: which token covers output position p

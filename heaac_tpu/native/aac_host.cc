@@ -268,10 +268,16 @@ struct QwDirect {
   }
   void set_sf(uint16_t sw) {
     if ((int)sw != cur_sf) {
+      int d = cur_sf >= 0 ? (int)sw - cur_sf : 1 << 20;
+      if (d >= -11 && d <= 10
+          && ((sw ^ (unsigned)cur_sf) & 0x8000) == 0) {
+        tok[nt++] = (uint8_t)(0xF5 + d);  // 1-byte SETSF_DELTA
+      } else {
+        tok[nt++] = 0x94;
+        ext[ne++] = (uint8_t)(sw & 0xFF);
+        ext[ne++] = (uint8_t)(sw >> 8);
+      }
       cur_sf = sw;
-      tok[nt++] = 0x94;
-      ext[ne++] = (uint8_t)(sw & 0xFF);
-      ext[ne++] = (uint8_t)(sw >> 8);
     }
   }
   void value(int v) {  // emit one value token at pos (sf already set)
