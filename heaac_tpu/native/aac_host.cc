@@ -161,6 +161,10 @@ static const int cb_signed[12] = {0, 1, 1, 0, 0, 1, 1, 0, 0, 0, 0, 0};
 // unpacked codeword value tuples + per-code nonzero counts, built at init
 static int8_t* cb_vals[12];
 static int8_t* cb_nz[12];
+// cb1/2 (|v|<=1 signed quads, the dominant books at low rates): the qwire
+// QUAD token byte for each of the 81 codes, and per-code float values
+static uint8_t cb_quadtok[3][81];
+static float* cb_valsf[12];
 
 static void build_codebooks() {
   for (int cb = 1; cb <= 11; cb++) {
@@ -182,6 +186,16 @@ static void build_codebooks() {
       }
       cb_nz[cb][idx] = (int8_t)nz;
     }
+    cb_valsf[cb] = new float[n * dim];
+    for (size_t k = 0; k < n * dim; k++)
+      cb_valsf[cb][k] = (float)cb_vals[cb][k];
+    if (cb <= 2)
+      for (size_t idx = 0; idx < n; idx++) {
+        int c = 0, pw = 1;
+        for (int d = 0; d < 4; d++, pw *= 3)
+          c += (cb_vals[cb][idx * 4 + d] + 1) * pw;
+        cb_quadtok[cb][idx] = (uint8_t)(0x99 + c);
+      }
   }
 }
 
@@ -556,6 +570,58 @@ static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
         for (int grp = 0; grp < g_len; grp++) {
           float* cf = gbase + grp * 128 + off;
           int k = 0;
+          // four quad-codes per 64-bit window for cb1/2 (max 11 bits per
+          // code, 44 <= 57 valid bits): the serial pos->load->bswap chain
+          // amortizes over 16 coefficients
+          if (sgn && dim == 4 && bt <= 2) {
+            const float* tvfb = cb_valsf[bt];
+            const uint8_t* qtok = cb_quadtok[bt];
+            for (; k + 16 <= off_len; k += 16) {
+              uint64_t w = wnd(pos);
+              int used = 0;
+              for (int blk = 0; blk < 4; blk++) {
+                uint64_t wb = w << used;
+                uint32_t pre = (uint32_t)(wb >> (64 - v.lb));
+                int32_t e = v.ent[pre];
+                if (__builtin_expect(e < 0, 0)) {
+                  int extra = (-e) & 31;
+                  int64_t soff = (-e) >> 5;
+                  uint32_t si = (uint32_t)((wb >> (64 - v.lb - extra))
+                                           & ((1u << extra) - 1));
+                  e = v.sub[soff + si];
+                }
+                int code = e & 0xFFFF;
+                if (code == 0xFFFF) {
+                  b->pos = pos;
+                  return -1;
+                }
+                used += e >> 16;
+                const int8_t* tv = vals + code * 4;
+                const float* tvf = tvfb + code * 4;
+                int kb = k + blk * 4;
+                cf[kb] = tv[0] ? tvf[0] * s : 0.f;
+                cf[kb + 1] = tv[1] ? tvf[1] * s : 0.f;
+                cf[kb + 2] = tv[2] ? tvf[2] * s : 0.f;
+                cf[kb + 3] = tv[3] ? tvf[3] * s : 0.f;
+                int nzq = nzs[code];
+                if (qcap && nzq) {
+                  int64_t p = (cf - coef) + kb;
+                  for (int d = 0; d < 4; d++)
+                    if (tv[d]) {
+                      qq[p + d] = (int16_t)tv[d];
+                      qs[p + d] = sw;
+                      g_qw.set(qlane, p + d);
+                    }
+                } else if (qd && nzq) {
+                  qd->zrun_to((int)(cf - coef) + kb);
+                  qd->set_sf(sw);
+                  qd->tok[qd->nt++] = qtok[code];
+                  qd->pos += 4;
+                }
+              }
+              pos += used;
+            }
+          }
           // two pair-codes per 64-bit window for the hot unsigned-pair
           // books: a code + signs tops out at 21 bits, so two fit in the
           // 57 valid bits and the serial pos->load->bswap chain halves
@@ -684,7 +750,34 @@ static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
             }
             int clen = e >> 16;
             const int8_t* tv = vals + code * dim;
-            if (sgn) {
+            if (sgn && dim == 4 && bt <= 2) {
+              // |v| <= 1 signed quads (cb 1/2): no sign bits, the token
+              // is a direct per-code lookup, and four values store as
+              // tvf[d]*s (cbrt[1] == 1.0f, so +-1 -> +-s bit-exactly;
+              // zeros write literal 0.f to keep the dense-path floats
+              // identical to the reference +0.0)
+              pos += clen;
+              const float* tvf = cb_valsf[bt] + code * 4;
+              cf[k] = tv[0] ? tvf[0] * s : 0.f;
+              cf[k + 1] = tv[1] ? tvf[1] * s : 0.f;
+              cf[k + 2] = tv[2] ? tvf[2] * s : 0.f;
+              cf[k + 3] = tv[3] ? tvf[3] * s : 0.f;
+              int nzq = nzs[code];
+              if (qcap && nzq) {
+                int64_t p = (cf - coef) + k;
+                for (int d = 0; d < 4; d++)
+                  if (tv[d]) {
+                    qq[p + d] = (int16_t)tv[d];
+                    qs[p + d] = sw;
+                    g_qw.set(qlane, p + d);
+                  }
+              } else if (qd && nzq) {
+                qd->zrun_to((int)(cf - coef) + k);
+                qd->set_sf(sw);
+                qd->tok[qd->nt++] = cb_quadtok[bt][code];
+                qd->pos += 4;
+              }
+            } else if (sgn) {
               pos += clen;
               int nzany = 0;
               for (int d = 0; d < dim; d++) {
