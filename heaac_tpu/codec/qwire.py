@@ -114,9 +114,12 @@ H_N0, H_N1, H_NQ, H_NLIM, H_NPATCH, H_KX1, H_M1, H_FLAGS, H_LIMG = range(9)
 H_TAB = 9          # f_tablelow(n0+1) ++ f_tablehigh(n1+1) ++
 #                    f_tablenoise(nq+1) ++ f_tablelim(nlim+1) ++
 #                    patch_start(np) ++ patch_num(np)
-HDR_MAX = 112
-NB_HI = 24         # max high-res bands (f_tablehigh entries - 1)
-NB_LO = 13
+HDR_MAX = 144
+# band-count maxima per 14496-3 via the max_qmf_subbands=48 regime
+# (aacsbr.c:369: sr <= 32 kHz): freq_scale=0/alter_scale=0 can reach 48
+# one-subband high-res bands
+NB_HI = 48         # max high-res bands (f_tablehigh entries - 1)
+NB_LO = 25
 NB_Q = 5
 NB_LIM = 28
 NPATCH = 6
@@ -273,7 +276,7 @@ def build_side(sbr, ch: int, id_aac: int, err: int = 0,
         bits = 0
         for i in range(int(sbr.n[1])):
             bits |= int(bool(d.bs_add_harmonic[i])) << i
-        b.extend(bits.to_bytes(3, "little"))
+        b.extend(bits.to_bytes(6, "little"))
     ps = getattr(sbr, "ps", None)
     if ps is not None and ps.start and ch == 0 and id_aac != TYPE_CPE:
         from ..ops import ps_np
@@ -638,14 +641,12 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
         .reshape(B, -1), axis=1).reshape(B, 2, NB_Q)
     after_noise = after_env + ntotal * (1 + coupled)
     ah_off = after_noise
-    ah_w = (jnp.take_along_axis(side, ah_off[:, None].clip(0, SIDE_MAX - 1),
-                                axis=1)
-            | (jnp.take_along_axis(side, (ah_off + 1)[:, None]
-                                   .clip(0, SIDE_MAX - 1), axis=1) << 8)
-            | (jnp.take_along_axis(side, (ah_off + 2)[:, None]
-                                   .clip(0, SIDE_MAX - 1), axis=1) << 16))
-    ah_w = ah_w * addharm[:, None]                      # [B,1]
-    ps_off = after_noise + 3 * addharm
+    ahb = lambda j: jnp.take_along_axis(
+        side, (ah_off + j)[:, None].clip(0, SIDE_MAX - 1), axis=1)
+    # 48 add-harmonic bits as two 24-bit planes (i32-safe shifts)
+    ah_lo = (ahb(0) | (ahb(1) << 8) | (ahb(2) << 16)) * addharm[:, None]
+    ah_hi = (ahb(3) | (ahb(4) << 8) | (ahb(5) << 16)) * addharm[:, None]
+    ps_off = after_noise + 6 * addharm
 
     env_lut = jnp.asarray(Lt["env"])
     c1_lut = jnp.asarray(Lt["env_c1"])
@@ -692,9 +693,11 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
             map_q.clip(0, NB_Q - 1)[:, None, :], (B, E, M)), axis=2), 0.0)
     # s_indexmapped / s_mapped (uses the carried row 0 for every envelope)
     m_mid = (((fhigh[:, :NB_HI] + fhigh[:, 1:NB_HI + 1]) >> 1)
-             - kx1[:, None])                            # [B,22]
-    ah_bits = (ah_w[:, :] >> jnp.arange(NB_HI)[None, :]) & 1
-    ah_bits = ah_bits * (jnp.arange(NB_HI)[None, :] < n1[:, None])
+             - kx1[:, None])                            # [B,NB_HI]
+    i_hi = jnp.arange(NB_HI)[None, :]
+    ah_bits = jnp.where(i_hi < 24, (ah_lo >> i_hi) & 1,
+                        (ah_hi >> (i_hi - 24).clip(0)) & 1)
+    ah_bits = ah_bits * (i_hi < n1[:, None])
     ah_at_m = ((m48[:, :, None] == m_mid[:, None, :]) * ah_bits[:, None, :])\
         .sum(-1)                                        # [B,48]
     gate = ((e5 >= ea1[:, None])[:, :, None]

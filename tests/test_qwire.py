@@ -193,3 +193,31 @@ def test_token_edge_cases():
     got = _decode(heaps, recs)
     ref = np.stack(refs)
     np.testing.assert_array_equal(got.view(np.int32), ref.view(np.int32))
+
+
+@pytest.mark.golden
+def test_qwire_freq_scale0_many_bands(ref_harness):
+    """freq_scale=0/alter_scale=0 at a <=32 kHz core can reach 48
+    one-subband high-res bands (aacsbr.c:369 max_qmf_subbands=48) — the
+    qwire side blocks and device expansion must cover the full range
+    (NB_HI=48, 6-byte add-harmonic mask)."""
+    from test_golden_sbr import make_core
+
+    from heaac_tpu.codec.batch import QStreamBatchDecoder, StreamBatchDecoder
+    from heaac_tpu.io.heaac_testgen import SbrStreamWriter, splice_sbr_into_lc
+
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 12)
+    w = SbrStreamWriter(core_rate=24000, is_cpe=False, env_hi_shift=-12,
+                        seed=31, invf_modes=(0,), freq_scale=0,
+                        alter_scale=0, start_freq=1, stop_freq=8)
+    assert w.sbr.n[1] > 24, f"n1 {w.sbr.n[1]}: config too narrow for test"
+    he = splice_sbr_into_lc(core, w)
+    old = np.asarray(StreamBatchDecoder([he], batch=1).decode())
+    new = np.asarray(QStreamBatchDecoder([he]).decode())
+    d = np.abs(old.astype(int) - new.astype(int))
+    assert d.max() <= 1, f"qwire-vs-compact max LSB {d.max()}"
+    # and through the native emitter (QwirePipelinedDecoder fast path)
+    from heaac_tpu.codec.batch import QwirePipelinedDecoder
+    nat = np.asarray(QwirePipelinedDecoder([he]).decode()[0])
+    d = np.abs(old.astype(int) - nat.astype(int))
+    assert d.max() <= 1, f"native-qwire max LSB {d.max()}"
