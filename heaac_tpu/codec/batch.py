@@ -510,6 +510,17 @@ class QwirePipelinedDecoder:
             self._bufsets[bufset] = (heap, recs)
         return self._bufsets[bufset]
 
+    def _grow(self):
+        """Double the heap staging (raw-f32-heavy frames — whole-lane TNS
+        — can exceed the ~0.5 KB/frame-lane sizing estimate).  Caller must
+        have drained all in-flight uploads first."""
+        from ..utils.metrics import log
+        self._cap *= 2
+        self._bufsets = [None, None]
+        self._upload_w = None
+        log.info("qwire pipelined decode: heap grown to %d MB",
+                 self._cap >> 20)
+
     def _parse_group(self, group: list, bufset: int):
         import ctypes as C
 
@@ -519,6 +530,7 @@ class QwirePipelinedDecoder:
         heap, recs = self._buffers(bufset)
         recs[:] = self._sil_recs
         cur = len(self._sil_payload)
+        n_counts0 = len(self.frame_counts)
         native_ok = native.available()
         if native_ok:
             # hoist ctypes marshaling out of the per-stream loop (the
@@ -546,13 +558,27 @@ class QwirePipelinedDecoder:
                             self._sil_recs[nf:, lane0:lane0 + self.nl]
                     continue
                 cur_c.value = cur  # rewind any partial native writes
+                if nf == -3:      # heap overflow: grow + retry the group
+                    del self.frame_counts[n_counts0:]
+                    return None
             log.info("qwire pipelined decode: stream %d fell back to the "
                      "Python planner", gi)
-            frames_q, *_ = parse_stream_qwire(data, max_frames=self.T)
+            frames_q, rate2, nl2, is34_2, ds2 = parse_stream_qwire(
+                data, max_frames=self.T)
+            if (rate2, nl2, is34_2, ds2) != (self.sample_rate, self.nl,
+                                             self.is34, self.ds):
+                raise ValueError(
+                    "stream %d profile (%s) differs from the batch profile "
+                    "(%s) — route heterogeneous inputs through decode_batch"
+                    % (gi, (rate2, nl2, is34_2, ds2),
+                       (self.sample_rate, self.nl, self.is34, self.ds)))
             nf = len(frames_q)
             self.frame_counts.append(nf)
             for t in range(nf):
                 for ln, (payload, rec) in enumerate(frames_q[t]):
+                    if cur + len(payload) > heap.nbytes:
+                        del self.frame_counts[n_counts0:]
+                        return None      # grow + retry
                     r2 = rec.copy()
                     r2[qwire.R_TOKOFF] = cur
                     heap[cur:cur + len(payload)] = np.frombuffer(
@@ -608,7 +634,17 @@ class QwirePipelinedDecoder:
                     # staging set gidx%2 was read by group gidx-2: wait
                     # for its upload+decode before overwriting the arrays
                     jax.block_until_ready(futs[gidx - 2].result())
-                heap, cur, recs = self._parse_group(group, gidx % 2)
+                for _ in range(6):
+                    r = self._parse_group(group, gidx % 2)
+                    if r is not None:
+                        break
+                    # heap overflow: drain every in-flight upload, then
+                    # grow the staging buffers and retry this group
+                    jax.block_until_ready([f.result() for f in futs])
+                    self._grow()
+                else:
+                    raise MemoryError("qwire heap kept overflowing")
+                heap, cur, recs = r
                 futs.append(pool.submit(upload_and_dispatch, heap, cur,
                                         recs))
             outs = [f.result() for f in futs]

@@ -221,3 +221,19 @@ def test_qwire_freq_scale0_many_bands(ref_harness):
     nat = np.asarray(QwirePipelinedDecoder([he]).decode()[0])
     d = np.abs(old.astype(int) - nat.astype(int))
     assert d.max() <= 1, f"native-qwire max LSB {d.max()}"
+
+
+@pytest.mark.golden
+def test_qwire_heap_growth(ref_harness):
+    """Raw-heavy payloads (or a deliberately tiny staging cap) must grow
+    the heap and retry, not crash mid-batch."""
+    from heaac_tpu.codec.batch import QwirePipelinedDecoder
+
+    he = _he_stream(ref_harness, seed=4)
+    ref = np.asarray(QwirePipelinedDecoder([he, he]).decode()[0])
+    dec = QwirePipelinedDecoder([he, he])
+    dec._cap = 4096                 # force several growth rounds
+    dec._bufsets = [None, None]
+    dec._upload_w = None
+    got = np.asarray(dec.decode()[0])
+    np.testing.assert_array_equal(got, ref)
