@@ -164,7 +164,13 @@ static int8_t* cb_nz[12];
 // cb1/2 (|v|<=1 signed quads, the dominant books at low rates): the qwire
 // QUAD token byte for each of the 81 codes, and per-code float values
 static uint8_t cb_quadtok[3][81];
+// cb5/6 (signed pairs, |v|<=4): qwire PAIR token per code where both
+// values fit [-3,3], else 0 (emit as singles/escapes)
+static uint8_t cb_pairtok[7][81];
 static float* cb_valsf[12];
+// signed dequant magnitudes: (v<0 ? -1 : +1) * cbrt_tab[|v|] per tuple
+// value — premultiplying by s reproduces (neg?-mag:mag)*s bit-exactly
+static float* cb_dqsf[12];
 
 static void build_codebooks() {
   for (int cb = 1; cb <= 11; cb++) {
@@ -187,14 +193,27 @@ static void build_codebooks() {
       cb_nz[cb][idx] = (int8_t)nz;
     }
     cb_valsf[cb] = new float[n * dim];
-    for (size_t k = 0; k < n * dim; k++)
-      cb_valsf[cb][k] = (float)cb_vals[cb][k];
+    cb_dqsf[cb] = new float[n * dim];
+    for (size_t k = 0; k < n * dim; k++) {
+      int vv = cb_vals[cb][k];
+      cb_valsf[cb][k] = (float)vv;
+      float mag = ht_cbrt[vv < 0 ? -vv : vv];
+      cb_dqsf[cb][k] = vv < 0 ? -mag : mag;
+    }
     if (cb <= 2)
       for (size_t idx = 0; idx < n; idx++) {
         int c = 0, pw = 1;
         for (int d = 0; d < 4; d++, pw *= 3)
           c += (cb_vals[cb][idx * 4 + d] + 1) * pw;
         cb_quadtok[cb][idx] = (uint8_t)(0x99 + c);
+      }
+    if (cb == 5 || cb == 6)
+      for (size_t idx = 0; idx < n; idx++) {
+        int v0 = cb_vals[cb][idx * 2], v1 = cb_vals[cb][idx * 2 + 1];
+        cb_pairtok[cb][idx] =
+            (v0 >= -3 && v0 <= 3 && v1 >= -3 && v1 <= 3)
+                ? (uint8_t)(0x41 + (v0 + 3) * 7 + (v1 + 3))
+                : 0;
       }
   }
 }
@@ -617,6 +636,67 @@ static int parse_spectrum(Bits* b, Chan* ch, float* coef, uint32_t* rng) {
                   qd->set_sf(sw);
                   qd->tok[qd->nt++] = qtok[code];
                   qd->pos += 4;
+                }
+              }
+              pos += used;
+            }
+          }
+          // four signed-pair codes per window for cb5/6 (max 13 bits,
+          // no sign bits): same amortization as the cb1/2 block above
+          if (sgn && dim == 2) {
+            const float* tvfb = cb_dqsf[bt];
+            const uint8_t* ptok = cb_pairtok[bt];
+            for (; k + 8 <= off_len; k += 8) {
+              uint64_t w = wnd(pos);
+              int used = 0;
+              for (int blk = 0; blk < 4; blk++) {
+                uint64_t wb = w << used;
+                uint32_t pre = (uint32_t)(wb >> (64 - v.lb));
+                int32_t e = v.ent[pre];
+                if (__builtin_expect(e < 0, 0)) {
+                  int extra = (-e) & 31;
+                  int64_t soff = (-e) >> 5;
+                  uint32_t si = (uint32_t)((wb >> (64 - v.lb - extra))
+                                           & ((1u << extra) - 1));
+                  e = v.sub[soff + si];
+                }
+                int code = e & 0xFFFF;
+                if (code == 0xFFFF) {
+                  b->pos = pos;
+                  return -1;
+                }
+                used += e >> 16;
+                const int8_t* tv = vals + code * 2;
+                const float* tvf = tvfb + code * 2;
+                int kb = k + blk * 2;
+                cf[kb] = tv[0] ? tvf[0] * s : 0.f;
+                cf[kb + 1] = tv[1] ? tvf[1] * s : 0.f;
+                int nzq = nzs[code];
+                if (qcap && nzq) {
+                  int64_t p = (cf - coef) + kb;
+                  for (int d = 0; d < 2; d++)
+                    if (tv[d]) {
+                      qq[p + d] = (int16_t)tv[d];
+                      qs[p + d] = sw;
+                      g_qw.set(qlane, p + d);
+                    }
+                } else if (qd && nzq) {
+                  int base = (int)(cf - coef) + kb;
+                  qd->set_sf(sw);
+                  if (ptok[code]) {
+                    qd->zrun_to(base);
+                    qd->tok[qd->nt++] = ptok[code];
+                    qd->pos += 2;
+                  } else {
+                    if (tv[0]) {
+                      qd->zrun_to(base);
+                      qd->value(tv[0]);
+                    }
+                    if (tv[1]) {
+                      qd->zrun_to(base + 1);
+                      qd->value(tv[1]);
+                    }
+                  }
                 }
               }
               pos += used;
