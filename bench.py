@@ -63,7 +63,10 @@ def make_distinct_streams(n: int) -> list:
 def main():
     from heaac_tpu.codec.batch import QwirePipelinedDecoder
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    # default B=512: every lane is a genuinely distinct bitstream (the
+    # bundled distinct-stream pool is 512; larger B tiles it).  Pass a
+    # batch size argument for the larger configs (2048/4096).
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     group = int(os.environ.get("HEAAC_BENCH_GROUP", "256"))
 
