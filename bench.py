@@ -67,7 +67,9 @@ def main():
     # bundled distinct-stream pool is 512; larger B tiles it).  Pass a
     # batch size argument for the larger configs (2048/4096).
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    # the shared box swings ~+-40% in CPU throughput on minute scales;
+    # more best-of reps ride out the slow phases
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     group = int(os.environ.get("HEAAC_BENCH_GROUP", "256"))
 
     distinct = make_distinct_streams(min(B, 512))
@@ -78,6 +80,36 @@ def main():
     # warm-up: compiles the scan for this (G, T) shape + touches buffers
     dec.decode()
     audio_s = dec.audio_seconds()
+
+    # component diagnostics (VERDICT: report both numbers): host parse
+    # alone, and the device scan alone on resident wire data
+    import jax
+
+    from heaac_tpu.codec.heaac_graph import (init_qwire_carry,
+                                             qwire_scan_decoder)
+    ngroups = (B + dec.G - 1) // dec.G
+    t0 = time.perf_counter()
+    dec.frame_counts = []
+    for gidx in range(ngroups):
+        g = dec.streams[gidx * dec.G:(gidx + 1) * dec.G]
+        if len(g) < dec.G:
+            g = g + dec.streams[:dec.G - len(g)]
+        dec._parse_group(g, gidx % 2)
+    parse_s = time.perf_counter() - t0
+    print(f"# parse-only: {audio_s / parse_s:.0f}x ({parse_s:.3f}s, "
+          f"{parse_s / (sum(dec.frame_counts[:B]) or 1) * 1e6:.1f} "
+          f"us/frame/stream)", file=sys.stderr)
+    heap, recs = dec._buffers(0)
+    run = qwire_scan_decoder(dec.is34, dec.ds, dec.S)
+    hw = jax.device_put(heap[:dec._upload_w * 4].view(np.float32))
+    rw = jax.device_put(recs.view(np.float32))
+    jax.block_until_ready((hw, rw))
+    t0 = time.perf_counter()
+    outs = [run(hw, rw, init_qwire_carry(dec.L))[1] for _ in range(ngroups)]
+    jax.block_until_ready(outs)
+    dev_s = time.perf_counter() - t0
+    print(f"# device-only: {audio_s / dev_s:.0f}x ({dev_s:.4f}s)",
+          file=sys.stderr)
 
     # steady-state end-to-end: re-parses every lane from bytes, re-uploads
     # plans, decodes on device; best-of-reps (shared-tunnel TPU variance)
