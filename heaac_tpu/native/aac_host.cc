@@ -357,6 +357,23 @@ static inline int hh_disarm_direct() {
   return used;
 }
 
+// per-channel CPE arming: ht_parse_cpe activates one candidate per
+// parse_ics call (gated on ms_present == 0: M/S rewrites both channels'
+// floats after parse, so those frames stay on the capture path)
+static QwDirect* g_qwd_cpe[2] = {nullptr, nullptr};
+static int g_qwd_cpe_used[2] = {0, 0};
+static inline void hh_arm_cpe(QwDirect* d0, QwDirect* d1) {
+  g_qwd_cpe[0] = d0;
+  g_qwd_cpe[1] = d1;
+  g_qwd_cpe_used[0] = g_qwd_cpe_used[1] = 0;
+}
+static inline void hh_take_cpe_direct(int* u0, int* u1) {
+  *u0 = g_qwd_cpe_used[0];
+  *u1 = g_qwd_cpe_used[1];
+  g_qwd_cpe[0] = g_qwd_cpe[1] = nullptr;
+  g_qwd_cpe_used[0] = g_qwd_cpe_used[1] = 0;
+}
+
 // --------------------------------------------------------------- parse ----
 static int parse_ics_info(Bits* b, IcsInfo* ics, int sampling_index) {
   if (getbit(b)) return -1;  // reserved
@@ -1102,9 +1119,15 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
   }
   if (getbit(b)) return -2;  // SSR
   // direct token emission only when decode order == output order and no
-  // post-pass rewrites coefficients (long window, no TNS, no pulses)
+  // post-pass rewrites coefficients (long window, no TNS, no pulses, no
+  // intensity bands — those are filled from the other channel later)
+  int has_is = 0;
+  if (g_qwd_arm)
+    for (int i = 0; i < ch->ics.num_window_groups * ch->ics.max_sfb; i++)
+      has_is |= ch->band_type[i] >= 14;
   g_qwd = (g_qwd_arm && ch->ics.num_window_groups == 1
-           && ch->ics.num_windows == 1 && !ch->tns.present && !pulse_count)
+           && ch->ics.num_windows == 1 && !ch->tns.present && !pulse_count
+           && !has_is)
               ? g_qwd_arm
               : nullptr;
   if (g_qwd) {
@@ -1208,10 +1231,24 @@ int ht_parse_cpe(const uint8_t* buf, int64_t nbits, int64_t* pos,
     else if (ms_present == 2)
       memset(ms_mask, 1, nmask);
   }
+  int allow_direct = ms_present == 0;
+  g_qwd_arm = allow_direct ? g_qwd_cpe[0] : nullptr;
+  if (g_qwd_arm) {
+    g_qwd_arm->nt = g_qwd_arm->ne = 0;
+  }
   int r = parse_ics(&b, &ch0, sampling_index, common_window, coeffs0,
                     rng_state);
-  if (r) return r;
+  g_qwd_cpe_used[0] = g_qwd != nullptr;
+  g_qwd = nullptr;
+  if (r) {
+    g_qwd_arm = nullptr;
+    return r;
+  }
+  g_qwd_arm = allow_direct ? g_qwd_cpe[1] : nullptr;
   r = parse_ics(&b, &ch1, sampling_index, common_window, coeffs1, rng_state);
+  g_qwd_cpe_used[1] = g_qwd != nullptr;
+  g_qwd = nullptr;
+  g_qwd_arm = nullptr;
   if (r) return r;
 
   if (common_window && ms_present) {  // M/S (aacdec.c:1390-1411)

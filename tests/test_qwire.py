@@ -237,3 +237,24 @@ def test_qwire_heap_growth(ref_harness):
     dec._upload_w = None
     got = np.asarray(dec.decode()[0])
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.golden
+def test_qwire_native_cpe(ref_harness):
+    """HE-AACv1 stereo (CPE) through the native qwire pipeline, including
+    the per-channel direct token emission (ms_present==0 frames)."""
+    from heaac_tpu.codec.batch import QwirePipelinedDecoder, StreamBatchDecoder
+
+    he = _he_stream(ref_harness, seed=7, is_cpe=True, invf=(0,))
+    old = np.asarray(StreamBatchDecoder([he], batch=1).decode())
+    nat = np.asarray(QwirePipelinedDecoder([he]).decode()[0])
+    assert old.shape == nat.shape
+    d = np.abs(old.astype(int) - nat.astype(int))
+    assert d.max() <= 1, f"native-cpe-qwire max LSB {d.max()}"
+
+    he2 = _he_stream(ref_harness, seed=9, is_cpe=True, coupling=True,
+                     invf=(0,))
+    old2 = np.asarray(StreamBatchDecoder([he2], batch=1).decode())
+    nat2 = np.asarray(QwirePipelinedDecoder([he2]).decode()[0])
+    d2 = np.abs(old2.astype(int) - nat2.astype(int))
+    assert d2.max() <= 1, f"native-cpe-coupled max LSB {d2.max()}"
