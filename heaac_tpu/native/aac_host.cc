@@ -138,6 +138,39 @@ static void build_vlc(Vlc* v, const uint32_t* codes, const uint8_t* bits,
   }
 }
 
+// inline two-level VLC read against a register cursor (shared by the
+// envelope/noise/PS band loops; vlc_get's per-call pos round trip and
+// window rebuild dominate these short symbol streams)
+static inline int vlc_get_at(const uint8_t* buf, int64_t nbits,
+                             int64_t* pos, const Vlc& v) {
+  int64_t byte = *pos >> 3;
+  uint64_t w;
+  if (__builtin_expect((byte + 8) * 8 <= nbits, 1)) {
+    memcpy(&w, buf + byte, 8);
+    w = __builtin_bswap64(w);
+  } else {
+    w = 0;
+    for (int i = 0; i < 8; i++) {
+      uint64_t c = (byte + i) * 8 < nbits ? buf[byte + i] : 0;
+      w = (w << 8) | c;
+    }
+  }
+  w <<= *pos & 7;
+  uint32_t pre = (uint32_t)(w >> (64 - v.lb));
+  int32_t e = v.ent[pre];
+  if (__builtin_expect(e < 0, 0)) {
+    int extra = (-e) & 31;
+    int64_t soff = (-e) >> 5;
+    uint32_t si = (uint32_t)((w >> (64 - v.lb - extra))
+                             & ((1u << extra) - 1));
+    e = v.sub[soff + si];
+  }
+  int sym = e & 0xFFFF;
+  if (sym == 0xFFFF) return -1;
+  *pos += e >> 16;
+  return sym;
+}
+
 static inline int vlc_get(Bits* b, const Vlc& v) {
   uint32_t pre = showbits(*b, v.lb);
   int32_t e = v.ent[pre];
@@ -440,6 +473,9 @@ static int parse_scalefactors(Bits* b, Chan* ch, int global_gain) {
   int offset[3] = {global_gain, global_gain - 90, 100};
   int noise_flag = 1;
   int idx = 0;
+  int64_t pos = b->pos;
+  const uint8_t* buf = b->buf;
+  const int64_t nbits = b->nbits;
   for (int g = 0; g < ics->num_window_groups; g++) {
     for (int i = 0; i < ics->max_sfb;) {
       int run_end = ch->band_run_end[idx];
@@ -451,38 +487,41 @@ static int parse_scalefactors(Bits* b, Chan* ch, int global_gain) {
         }
       } else if (bt == 14 || bt == 15) {  // intensity
         for (; i < run_end; i++, idx++) {
-          int d = vlc_get(b, vlc_sf);
-          if (d < 0) return -1;
+          int d = vlc_get_at(buf, nbits, &pos, vlc_sf);
+          if (d < 0) { b->pos = pos; return -1; }
           offset[2] += d - 60;
-          if ((unsigned)offset[2] > 255u) return -1;
+          if ((unsigned)offset[2] > 255u) { b->pos = pos; return -1; }
           ch->sf[idx] = ht_pow2sf[-offset[2] + 300];
           ch->sfwb[idx] = (uint16_t)((-offset[2] + 300) | 0x8000);
         }
       } else if (bt == 13) {  // noise
         for (; i < run_end; i++, idx++) {
-          if (noise_flag-- > 0)
+          if (noise_flag-- > 0) {
+            b->pos = pos;
             offset[1] += (int)getbits(b, 9) - 256;
-          else {
-            int d = vlc_get(b, vlc_sf);
-            if (d < 0) return -1;
+            pos = b->pos;
+          } else {
+            int d = vlc_get_at(buf, nbits, &pos, vlc_sf);
+            if (d < 0) { b->pos = pos; return -1; }
             offset[1] += d - 60;
           }
-          if ((unsigned)offset[1] > 255u) return -1;
+          if ((unsigned)offset[1] > 255u) { b->pos = pos; return -1; }
           ch->sf[idx] = -ht_pow2sf[offset[1] + sf_off + 100];
           ch->sfwb[idx] = (uint16_t)(offset[1] + sf_off + 100);
         }
       } else {
         for (; i < run_end; i++, idx++) {
-          int d = vlc_get(b, vlc_sf);
-          if (d < 0) return -1;
+          int d = vlc_get_at(buf, nbits, &pos, vlc_sf);
+          if (d < 0) { b->pos = pos; return -1; }
           offset[0] += d - 60;
-          if ((unsigned)offset[0] > 255u) return -1;
+          if ((unsigned)offset[0] > 255u) { b->pos = pos; return -1; }
           ch->sf[idx] = -ht_pow2sf[offset[0] + sf_off];
           ch->sfwb[idx] = (uint16_t)(offset[0] + sf_off);
         }
       }
     }
   }
+  b->pos = pos;
   return 0;
 }
 
