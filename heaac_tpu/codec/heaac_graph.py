@@ -190,11 +190,14 @@ def qwire_scan_decoder(is34: int, downsampled: int, S: int):
             .reshape(-1).astype(jnp.int32)
         rec_seq = jax.lax.bitcast_convert_type(rec_w, jnp.int32)
         T, L = rec_seq.shape[:2]
-        flat = rec_seq.reshape(T * L, qwire.REC_W)
+        # lane-major flattening: under a dp-sharded lane axis the merge
+        # stays shard-local (a T-major merge would interleave shards and
+        # force an all-to-all)
+        flat = rec_seq.transpose(1, 0, 2).reshape(L * T, qwire.REC_W)
         with jax.named_scope("token_decode"):
             coeffs = qwire.decode_coeffs_jax(
                 heap, flat[:, qwire.R_TOKOFF], flat[:, qwire.R_NTOK], S)
-            coeffs = coeffs.reshape(T, L, 1024)
+            coeffs = coeffs.reshape(L, T, 1024).transpose(1, 0, 2)
 
         def body(c, xs):
             rec_t, coef_t = xs

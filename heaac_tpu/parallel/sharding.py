@@ -69,3 +69,64 @@ class ShardedStreamBatchDecoder(StreamBatchDecoder):
             self._init_state())
         _, pcm = self.run_fn(self.core, self.sbr, self.ps, state)
         return pcm
+
+
+class ShardedQwireDecoder:
+    """The quantized-wire pipeline (codec/qwire.py) sharded over a 1-D
+    ``dp`` mesh: the byte heap is replicated (it is ~0.5 KB/frame-lane —
+    cheap to broadcast over ICI), the records and every carry leaf shard on
+    the lane axis, and the token decode + frame scan run SPMD with zero
+    collectives (each chip gathers its lanes' records/tokens from its own
+    heap replica).  Groups decode sequentially like QwirePipelinedDecoder;
+    lanes per group must divide the mesh size."""
+
+    def __init__(self, streams, mesh: Mesh | None = None,
+                 group_streams: int = 256,
+                 max_frames: int | None = None):
+        from ..codec.batch import QwirePipelinedDecoder
+
+        self.mesh = mesh or make_mesh()
+        self.inner = QwirePipelinedDecoder(streams,
+                                           group_streams=group_streams,
+                                           max_frames=max_frames)
+        n = self.mesh.devices.size
+        if self.inner.L % n:
+            raise ValueError(
+                f"{self.inner.L} lanes per group not divisible by {n} "
+                "devices")
+        self._sh_rep = NamedSharding(self.mesh, P())
+        self._sh_rec = NamedSharding(self.mesh, P(None, "dp"))
+        self._sh_lane = NamedSharding(self.mesh, P("dp"))
+
+    def decode(self):
+        from ..codec.heaac_graph import init_qwire_carry, qwire_scan_decoder
+
+        dec = self.inner
+        run = None
+        outs = []
+        n = len(dec.streams)
+        dec.frame_counts = []
+        for gidx, g0 in enumerate(range(0, n, dec.G)):
+            group = dec.streams[g0:g0 + dec.G]
+            if len(group) < dec.G:
+                group = group + dec.streams[:dec.G - len(group)]
+            if gidx >= 2:
+                jax.block_until_ready(outs[gidx - 2])
+            heap, cur, recs = dec._parse_group(group, gidx % 2)
+            if dec._upload_w is None:
+                dec._upload_w = min((cur + 3) // 4 + 65536, dec._cap // 4)
+            run = qwire_scan_decoder(dec.is34, dec.ds, dec.S)
+            heap_w = jax.device_put(
+                heap[:dec._upload_w * 4].view(np.float32), self._sh_rep)
+            rec_w = jax.device_put(recs.view(np.float32), self._sh_rec)
+            carry = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._sh_lane),
+                init_qwire_carry(dec.L))
+            _, pcm = run(heap_w, rec_w, carry)
+            outs.append(pcm)
+        jax.block_until_ready(outs[-1])
+        dec.frame_counts = dec.frame_counts[:n]
+        return outs
+
+    def audio_seconds(self) -> float:
+        return self.inner.audio_seconds()

@@ -252,3 +252,22 @@ def test_mixed_length_batch(ref_harness):
     for out, ref in zip(res, (ref_short, ref_long)):
         d = np.abs(out.astype(int) - ref.astype(int))
         assert d.max() <= 2, f"mixed-length batch max LSB {d.max()}"
+
+
+@pytest.mark.golden
+def test_sharded_qwire_decoder(ref_harness):
+    """The quantized-wire pipeline sharded over the 8-virtual-device dp
+    mesh (replicated heap, lane-sharded records/carry, zero collectives)
+    must match the unsharded qwire decode."""
+    from heaac_tpu.codec.batch import QwirePipelinedDecoder
+    from heaac_tpu.parallel.sharding import ShardedQwireDecoder, make_mesh
+
+    streams = [_make_stream(ref_harness, seed=s, ps_seed=s + 1)
+               for s in (61, 62)] * 4                     # 8 lanes
+    ref = [np.asarray(o) for o in
+           QwirePipelinedDecoder(streams, group_streams=8).decode()]
+    sh = ShardedQwireDecoder(streams, mesh=make_mesh(8), group_streams=8)
+    got = [np.asarray(o) for o in sh.decode()]
+    assert len(ref) == len(got) == 1
+    d = np.abs(ref[0].astype(int) - got[0].astype(int))
+    assert d.max() <= 1, f"sharded-vs-unsharded max LSB {d.max()}"
