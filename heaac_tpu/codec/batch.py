@@ -396,7 +396,9 @@ class QStreamBatchDecoder:
         rate, nl, is34, ds = parsed[0][1:5]
         self.sample_rate, self.nl = rate, nl
         self.is34, self.ds = is34, ds
-        self.T = min(len(p[0]) for p in parsed)
+        # pad shorter streams to the LONGEST with silence lanes — min()
+        # would silently truncate audio (round-2 advisor finding)
+        self.T = max(len(p[0]) for p in parsed)
         B = batch or len(parsed)
         L = B * nl
         heap = bytearray()
@@ -408,6 +410,9 @@ class QStreamBatchDecoder:
         for b in range(B):
             fr = parsed[b % len(parsed)][0]
             for t in range(self.T):
+                if t >= len(fr):
+                    recs[t, b * nl:(b + 1) * nl] = sil_rec
+                    continue
                 for ln, (payload, rec) in enumerate(fr[t]):
                     r = rec.copy()
                     r[qwire.R_TOKOFF] = len(heap)
@@ -420,6 +425,8 @@ class QStreamBatchDecoder:
         self.heap_w = np.frombuffer(bytes(heap), np.float32)
         self.rec_w = recs.view(np.float32)
         self.L = L
+        self._frames_total = sum(
+            len(parsed[b % len(parsed)][0]) for b in range(B))
 
     def decode(self):
         import jax
@@ -432,7 +439,9 @@ class QStreamBatchDecoder:
         return pcm
 
     def audio_seconds(self) -> float:
-        return self.L * self.T * (1024 << (not self.ds)) / self.sample_rate
+        # real (non-padding) frames only — padded silence lanes don't count
+        return self._frames_total * self.nl \
+            * (1024 << (not self.ds)) / self.sample_rate
 
 
 def _count_adts_frames(data: bytes) -> int:

@@ -147,7 +147,11 @@ def emit_coeff_tokens(coef: np.ndarray, q: np.ndarray | None = None,
         sfw = np.zeros(1024, np.uint16)
     raw = raw.astype(bool) if raw is not None else np.zeros(1024, bool)
     zero = (q == 0) & ~raw & (coef == 0)
-    # positions that disagree with their q representation must go raw
+    # positions that disagree with their q representation must go raw:
+    # a q==0 bin with a nonzero coefficient has no token representation,
+    # so auto-promote it into the raw set (the native emitter maintains
+    # this invariant itself; this guards tooling/test callers)
+    raw = raw | ((q == 0) & (np.asarray(coef) != 0))
     cur_sf = -1
     p = 0
     while p < 1024:
@@ -358,7 +362,11 @@ def silence_lane() -> tuple[bytes, np.ndarray]:
 # bitstream/sbr_syntax.sbr_dequant by construction)
 # =============================================================================
 def _luts():
-    exp2 = lambda x: np.exp2(np.float32(x), dtype=np.float32)
+    # clamp the exponent domain: legal streams never reach e where
+    # exp2(e + 7) overflows f32 (~e > 120), but the LUT is built over the
+    # full 128-code index range — without the clamp the tail entries emit
+    # RuntimeWarning: overflow and go inf (harmless but alarming in logs)
+    exp2 = lambda x: np.exp2(np.float32(min(x, 126.0)), dtype=np.float32)
     Ei = np.arange(128)
     lut = dict(
         cbrt=cbrt_tab(),

@@ -112,9 +112,22 @@ class ShardedQwireDecoder:
                 group = group + dec.streams[:dec.G - len(group)]
             if gidx >= 2:
                 jax.block_until_ready(outs[gidx - 2])
-            heap, cur, recs = dec._parse_group(group, gidx % 2)
+            for _ in range(6):
+                r = dec._parse_group(group, gidx % 2)
+                if r is not None:
+                    break
+                # heap overflow: drain in-flight decodes, grow, retry
+                # (mirrors QwirePipelinedDecoder.decode's retry loop)
+                jax.block_until_ready(outs)
+                dec._grow()
+            else:
+                raise MemoryError("qwire heap kept overflowing")
+            heap, cur, recs = r
             if dec._upload_w is None:
                 dec._upload_w = min((cur + 3) // 4 + 65536, dec._cap // 4)
+            while (cur + 3) // 4 > dec._upload_w:  # grow (rare): a later
+                # group's heap cursor can exceed group 0's sizing estimate
+                dec._upload_w = min(dec._upload_w * 2, dec._cap // 4)
             run = qwire_scan_decoder(dec.is34, dec.ds, dec.S)
             heap_w = jax.device_put(
                 heap[:dec._upload_w * 4].view(np.float32), self._sh_rep)
