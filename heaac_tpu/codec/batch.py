@@ -420,7 +420,7 @@ class QStreamBatchDecoder:
                     recs[t, b * nl + ln] = r
         if len(heap) % 4:
             heap += b"\0" * (4 - len(heap) % 4)
-        self.S = max(64, int(recs[:, :, qwire.R_NTOK].max()))
+        self.S = max(64, int((recs[:, :, qwire.R_W1] & 0xFFFF).max()))
         self.S = -(-self.S // 64) * 64
         self.heap_w = np.frombuffer(bytes(heap), np.float32)
         self.rec_w = recs.view(np.float32)
@@ -596,7 +596,7 @@ class QwirePipelinedDecoder:
                     recs[t, lane0 + ln] = r2
             if native_ok:
                 cur_c.value = cur
-        maxtok = int(recs[:, :, qwire.R_NTOK].max())
+        maxtok = int((recs[:, :, qwire.R_W1] & 0xFFFF).max())
         if maxtok > self.S:   # pathological stream: widen + recompile
             self.S = -(-maxtok // 64) * 64
         return heap, cur, recs

@@ -196,7 +196,8 @@ def qwire_scan_decoder(is34: int, downsampled: int, S: int):
         flat = rec_seq.transpose(1, 0, 2).reshape(L * T, qwire.REC_W)
         with jax.named_scope("token_decode"):
             coeffs = qwire.decode_coeffs_jax(
-                heap, flat[:, qwire.R_TOKOFF], flat[:, qwire.R_NTOK], S)
+                heap, flat[:, qwire.R_TOKOFF],
+                flat[:, qwire.R_W1] & 0xFFFF, S)
             coeffs = coeffs.reshape(L, T, 1024).transpose(1, 0, 2)
 
         def body(c, xs):

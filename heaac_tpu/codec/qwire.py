@@ -70,44 +70,52 @@ T_QUAD0 = 0x99          # 81 codes
 T_QUAD_END = 0xE9
 T_SFD_BASE = 0xF5       # SETSF_DELTA: d = tok - T_SFD_BASE in [-11, 10]
 
-REC_W = 8               # i32 record words per frame-lane
-R_TOKOFF, R_NTOK, R_NEXT, R_SIDELEN, R_HDRLEN = range(5)
+REC_W = 4               # i32 record words per frame-lane
+R_TOKOFF = 0            # w0: heap byte offset of the lane payload
+R_W1 = 1                # w1: ntok (u16) | n_ext (u16)<<16
+R_W2 = 2                # w2: side_len (u16) | hdr_len (u8)<<16 | mode<<24
+R_W3 = 3                # w3: reserved (specbits mode: nbits | sfw0<<16)
 
-# ---- side block -------------------------------------------------------------
-# fixed head (byte offsets), then variable payload
-SH_CORE = 0        # ws | kbd<<2 | err<<3
-SH_FLAGS = 1       # start | reset<<1 | ampres<<2 | coupled<<3 | pan<<4
-#                    | addharm<<5 | ps_on<<6
-SH_NE = 2
-SH_NNOISE = 3
-SH_FRBITS = 4      # freq_res bits for envelopes 1..5
-SH_TQSEL = 5       # per-envelope noise-row selector bits
-SH_TENV = 6        # 6..11: t_env[0..5] in slots
-SH_EA0 = 12        # e_a[0] + 1 (0 == none)
-SH_EA1 = 13
-SH_HSL = 14        # 0 or 4
-SH_SINE0 = 15
-SH_NOISE0 = 16     # u16 LE
-SH_KX0 = 18
-SH_KX1 = 19
-SH_M0 = 20
-SH_M1 = 21
-SH_TOLD2 = 22      # 2 * t_env_num_env_old
-SH_BW = 24         # 24..43: bw_array[5] f32 LE (host-computed chirp,
-#                    aacsbr.c:1316 — a 3-op f32 recursion that XLA insists
-#                    on contracting into fma, so it stays on host)
-SIDE_HEAD = 44
+# ---- side block v2 (packed head) -------------------------------------------
+# b0: ws(2) | kbd<<2 | err<<3 | hsl_on<<4 | ampres<<5 | bw_present<<6
+#     | kxm0_diff<<7
+# b1: start | reset<<1 | coupled<<2 | pan<<3 | addharm<<4 | ps_on<<5
+# b2: ne(3) | nnoise(2)<<3 | sine0(2)<<5
+# b3: frbits(5) | (e_a[0]+1)<<5
+# b4: tqsel(5) | (e_a[1]+1)<<5
+# b5..b10: t_env[0..5] in slots
+# b11,b12: f_indexnoise u16 LE
+# The round-2 head also shipped kx0/kx1/m0/m1/told2 and 20 bytes of chirp
+# bw every frame; v2 derives kx1/m1 from the carried header block,
+# told2 from a device carry (t_env[ne] of the previous start frame -- the
+# update is idempotent on dataless frames because t_env persists), kx0/m0
+# from kx1/m1 except on the rare frames where they differ (explicit bytes
+# behind the kxm0_diff flag), and ships the chirp bw only when it changed
+# (bw_present flag; the recursion stays on host, aacsbr.c:1316 -- XLA
+# contracts the mul+add chain into fma and breaks bit-exactness).
+SIDE_HEAD = 13
+# optional blocks follow the head in this order:
+#   [kx0 u8, m0 u8]      if kxm0_diff
+#   [bw[5] f32 LE]       if bw_present
+#   env codes ++ noise codes ++ addharm(6) ++ PS block   (as before)
 # device gather window (wire cost is the actual block size; the worst case
 # is an SCE with 4-envelope 34-band PS incl. IPD/OPD at ~705 bytes)
 SIDE_MAX = 768
 
-# PS sub-block head (byte offsets within the PS section)
-PS_NENV = 0
-PS_FLAGS = 1       # ipdopd | quant<<1 | iccmode<<2
-PS_NIPD = 2
-PS_TOP = 3
-PS_BORD = 4        # 4..9: border_position[0..5] (i8)
-PS_HEAD = 10
+# PS sub-block v2 (byte offsets within the PS section)
+# b0: nenv(3) | ipdopd<<3 | quant<<4 | iccmode(3)<<5
+# b1: nipd
+# b2: top
+# b3..b8: border_position[0..5] (i8)
+PS_B0 = 0
+PS_NIPD = 1
+PS_TOP = 2
+PS_BORD = 3
+PS_HEAD = 9
+# iid rows: per env, npar i8 bytes when iid_quant (fine) else
+# ceil(npar/2) nibble bytes (coarse values in [-7,7], stored +7);
+# icc rows: per env ceil(npar/2) nibble bytes (codes 0..7);
+# ipd/opd rows: per env ceil(nipd/2) nibble bytes (codes 0..7)
 
 # ---- header block -----------------------------------------------------------
 H_N0, H_N1, H_NQ, H_NLIM, H_NPATCH, H_KX1, H_M1, H_FLAGS, H_LIMG = range(9)
@@ -227,42 +235,48 @@ def build_side(sbr, ch: int, id_aac: int, err: int = 0,
 
     b = bytearray(SIDE_HEAD)
     if core_meta is not None:
-        b[SH_CORE] = (int(core_meta.get("ws", 0)) & 3) \
+        b[0] = (int(core_meta.get("ws", 0)) & 3) \
             | ((int(core_meta.get("kbd", 0)) & 1) << 2) | ((err & 1) << 3)
     if sbr is None:
         return bytes(b)
     d = sbr.data[ch]
     coupled = int(id_aac == TYPE_CPE and sbr.bs_coupling)
-    b[SH_KX0], b[SH_KX1] = int(sbr.kx[0]), int(sbr.kx[1])
-    b[SH_M0], b[SH_M1] = int(sbr.m[0]), int(sbr.m[1])
-    b[SH_TOLD2] = 2 * int(d.t_env_num_env_old)
+    opt = bytearray()
+    if int(sbr.kx[0]) != int(sbr.kx[1]) or int(sbr.m[0]) != int(sbr.m[1]):
+        b[0] |= 1 << 7
+        opt.append(int(sbr.kx[0]) & 0xFF)
+        opt.append(int(sbr.m[0]) & 0xFF)
     if not sbr.start:
-        return bytes(b)
+        return bytes(b + opt)
     ne = int(d.bs_num_env)
-    b[SH_FLAGS] = (1 | (int(bool(sbr.reset)) << 1)
-                   | (int(d.bs_amp_res) << 2) | (coupled << 3)
-                   | ((coupled and ch == 1) << 4)
-                   | (int(bool(d.bs_add_harmonic_flag)) << 5))
-    b[SH_NE] = ne
-    b[SH_NNOISE] = int(d.bs_num_noise)
+    b[0] |= ((1 * (not sbr.bs_smoothing_mode)) << 4) \
+        | ((int(d.bs_amp_res) & 1) << 5)
+    b[1] = (1 | (int(bool(sbr.reset)) << 1) | (coupled << 2)
+            | ((coupled and ch == 1) << 3)
+            | (int(bool(d.bs_add_harmonic_flag)) << 4))
+    b[2] = ne | (int(d.bs_num_noise) << 3) | (int(d.f_indexsine) << 5)
+    frbits = tqsel = 0
     for e in range(ne):
         if d.bs_freq_res[e + 1]:
-            b[SH_FRBITS] |= 1 << e
+            frbits |= 1 << e
         if d.bs_num_noise > 1 and d.t_env[e] >= d.t_q[1]:
-            b[SH_TQSEL] |= 1 << e
-        b[SH_TENV + e] = int(d.t_env[e])
+            tqsel |= 1 << e
+        b[5 + e] = int(d.t_env[e])
     for e in range(ne, 6):
-        b[SH_TENV + e] = int(d.t_env[ne])
-    b[SH_TENV + ne] = int(d.t_env[ne])
-    b[SH_EA0] = int(d.e_a[0]) + 1
-    b[SH_EA1] = int(d.e_a[1]) + 1
-    b[SH_HSL] = 4 * (not sbr.bs_smoothing_mode)
-    b[SH_SINE0] = int(d.f_indexsine)
-    b[SH_NOISE0:SH_NOISE0 + 2] = int(d.f_indexnoise).to_bytes(2, "little")
+        b[5 + e] = int(d.t_env[ne])
+    b[3] = frbits | ((int(d.e_a[0]) + 1) << 5)
+    b[4] = tqsel | ((int(d.e_a[1]) + 1) << 5)
+    b[11:13] = int(d.f_indexnoise).to_bytes(2, "little")
     from ..ops.sbr_np import chirp
     chirp(sbr, d)
-    b[SH_BW:SH_BW + 20] = np.asarray(d.bw_array[:5], np.float32).tobytes()
+    bw_now = np.asarray(d.bw_array[:5], np.float32).copy()
+    prev = getattr(d, "wire_bw_prev", None)
+    if prev is None or prev.tobytes() != bw_now.tobytes():
+        b[0] |= 1 << 6
+        opt.extend(bw_now.tobytes())
+        d.wire_bw_prev = bw_now
 
+    b = b + opt
     # env codes: main channel (ch0) first, pan channel second when coupled
     # (sbr_dequant consumes E1/E2 jointly for both output channels)
     chs = [0, 1] if coupled else [ch]
@@ -284,11 +298,11 @@ def build_side(sbr, ch: int, id_aac: int, err: int = 0,
     ps = getattr(sbr, "ps", None)
     if ps is not None and ps.start and ch == 0 and id_aac != TYPE_CPE:
         from ..ops import ps_np
-        b[SH_FLAGS] |= 1 << 6
+        b[1] |= 1 << 5
         pb = bytearray(PS_HEAD)
-        pb[PS_NENV] = int(ps.num_env)
-        pb[PS_FLAGS] = (int(ps.enable_ipdopd) | (int(ps.iid_quant) << 1)
-                        | (int(ps.icc_mode) << 2))
+        pb[PS_B0] = (int(ps.num_env) | (int(ps.enable_ipdopd) << 3)
+                     | (int(ps.iid_quant) << 4)
+                     | ((int(ps.icc_mode) & 7) << 5))
         pb[PS_NIPD] = int(ps.nr_ipdopd_par)
         pb[PS_TOP] = int(sbr.kx[1] + sbr.m[1])
         for e2 in range(min(int(ps.num_env) + 1, 6)):
@@ -297,9 +311,13 @@ def build_side(sbr, ch: int, id_aac: int, err: int = 0,
         iid = ps_np._remap(ps.iid_par, ps.nr_iid_par, ps.num_env, 1, is34)
         icc = ps_np._remap(ps.icc_par, ps.nr_icc_par, ps.num_env, 1, is34)
         for e2 in range(int(ps.num_env)):
-            pb.extend(int(x) & 0xFF for x in iid[e2][:npar])
+            if ps.iid_quant:
+                pb.extend(int(x) & 0xFF for x in iid[e2][:npar])
+            else:
+                pb.extend(pack_nibbles(
+                    [int(x) + 7 for x in iid[e2][:npar]]))
         for e2 in range(int(ps.num_env)):
-            pb.extend(int(x) & 0xFF for x in icc[e2][:npar])
+            pb.extend(pack_nibbles([int(x) for x in icc[e2][:npar]]))
         if ps.enable_ipdopd:
             nip = min(int(ps.nr_ipdopd_par), 17)
             ipd = ps_np._remap(ps.ipd_par, ps.nr_ipdopd_par, ps.num_env,
@@ -307,9 +325,9 @@ def build_side(sbr, ch: int, id_aac: int, err: int = 0,
             opd = ps_np._remap(ps.opd_par, ps.nr_ipdopd_par, ps.num_env,
                                0, is34)
             for e2 in range(int(ps.num_env)):
-                pb.extend(int(x) & 0xFF for x in ipd[e2][:nip])
+                pb.extend(pack_nibbles([int(x) for x in ipd[e2][:nip]]))
             for e2 in range(int(ps.num_env)):
-                pb.extend(int(x) & 0xFF for x in opd[e2][:nip])
+                pb.extend(pack_nibbles([int(x) for x in opd[e2][:nip]]))
         b.extend(pb)
     # advance the host noise/sine phase exactly like the other builders
     nslots = 2 * (int(d.t_env[ne]) - int(d.t_env[0]))
@@ -317,6 +335,15 @@ def build_side(sbr, ch: int, id_aac: int, err: int = 0,
     d.f_indexsine = (d.f_indexsine + nslots) & 3
     assert len(b) <= SIDE_MAX, len(b)
     return bytes(b)
+
+
+def pack_nibbles(vals) -> bytes:
+    """Low nibble first; each value must fit 4 bits (caller biases)."""
+    out = bytearray((len(vals) + 1) // 2)
+    for i, v in enumerate(vals):
+        assert 0 <= v <= 15, v
+        out[i >> 1] |= v << (4 * (i & 1))
+    return bytes(out)
 
 
 def build_header(sbr) -> bytes:
@@ -342,12 +369,10 @@ def build_header(sbr) -> bytes:
 
 def assemble_lane(tokens: bytes, ext: bytes, side: bytes,
                   header: bytes = b"") -> tuple[bytes, np.ndarray]:
-    """One frame-lane's heap payload + its 8-word record (tok_off 0)."""
+    """One frame-lane's heap payload + its 4-word record (tok_off 0)."""
     rec = np.zeros(REC_W, np.int32)
-    rec[R_NTOK] = len(tokens)
-    rec[R_NEXT] = len(ext)
-    rec[R_SIDELEN] = len(side)
-    rec[R_HDRLEN] = len(header)
+    rec[R_W1] = len(tokens) | (len(ext) << 16)
+    rec[R_W2] = len(side) | (len(header) << 16)
     return tokens + ext + side + header, rec
 
 
@@ -501,11 +526,14 @@ def decode_coeffs_jax(heap, tok_off, ntok, S: int):
 
 def init_qcarry(B: int):
     """Cross-frame device state for the side expansion: carried header
-    bytes, s_indexmapped, chirp bw + previous invf, window chain."""
+    bytes, s_indexmapped, chirp bw, t_env[ne] of the previous start frame
+    (the reference's t_env_num_env_old), window chain."""
     import jax.numpy as jnp
     return dict(
         hdr=jnp.zeros((B, HDR_MAX), jnp.int32),
         s_idx=jnp.zeros((B, M), jnp.int32),
+        bw=jnp.zeros((B, 5), jnp.float32),
+        tend=jnp.zeros((B,), jnp.int32),
         ws_prev=jnp.zeros((B,), jnp.int32),
         kbd_prev=jnp.zeros((B,), jnp.int32),
     )
@@ -527,50 +555,64 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
     B = rec.shape[0]
     N = heap.shape[0]
     tok_off = rec[:, R_TOKOFF]
-    side_off = tok_off + rec[:, R_NTOK] + rec[:, R_NEXT]
-    hdr_off = side_off + rec[:, R_SIDELEN]
-    has_hdr = rec[:, R_HDRLEN] > 0
+    w1 = rec[:, R_W1]
+    w2 = rec[:, R_W2]
+    side_off = tok_off + (w1 & 0xFFFF) + ((w1 >> 16) & 0xFFFF)
+    hdr_off = side_off + (w2 & 0xFFFF)
+    has_hdr = ((w2 >> 16) & 0xFF) > 0
 
     gw = lambda off, n: heap[(off[:, None]
                               + jnp.arange(n)[None, :]).clip(0, N - 1)]
-    side = gw(side_off, SIDE_MAX)                       # [B,256]
+    side = gw(side_off, SIDE_MAX)                       # [B,SIDE_MAX]
     hdr_new = gw(hdr_off, HDR_MAX)
     hdr = jnp.where(has_hdr[:, None], hdr_new, carry["hdr"])
 
     sb = lambda j: side[:, j]
-    core0 = sb(SH_CORE)
+    hb = lambda j: hdr[:, j]
+    core0 = sb(0)
     ws = core0 & 3
     kbd = (core0 >> 2) & 1
     err = (core0 >> 3) & 1
+    hsl = 4 * ((core0 >> 4) & 1)
+    ampres = (core0 >> 5) & 1
+    bw_present = (core0 >> 6) & 1
+    kxm0_diff = (core0 >> 7) & 1
     core_meta = dict(ws=ws, wsp=carry["ws_prev"], kbd=kbd,
                      kbdp=carry["kbd_prev"])
-    flags = sb(SH_FLAGS)
+    flags = sb(1)
     start = flags & 1
     reset = (flags >> 1) & 1
-    ampres = (flags >> 2) & 1
-    coupled = (flags >> 3) & 1
-    pan = (flags >> 4) & 1
-    addharm = (flags >> 5) & 1
-    ps_on = (flags >> 6) & 1
-    ne = sb(SH_NE)
-    nnoise = sb(SH_NNOISE)
-    frbits = sb(SH_FRBITS)
-    tqsel = sb(SH_TQSEL)
-    tenv = side[:, SH_TENV:SH_TENV + 6]                 # [B,6] slots
-    ea0 = sb(SH_EA0) - 1
-    ea1 = sb(SH_EA1) - 1
-    hsl = sb(SH_HSL)
-    sine0 = sb(SH_SINE0)
-    noise0 = sb(SH_NOISE0) | (sb(SH_NOISE0 + 1) << 8)
-    kx0, kx1 = sb(SH_KX0), sb(SH_KX1)
-    m0, m1 = sb(SH_M0), sb(SH_M1)
-    told2 = sb(SH_TOLD2)
-    bwb = side[:, SH_BW:SH_BW + 20].reshape(B, 5, 4)
-    bw_now = jax.lax.bitcast_convert_type(
+    coupled = (flags >> 2) & 1
+    pan = (flags >> 3) & 1
+    addharm = (flags >> 4) & 1
+    ps_on = (flags >> 5) & 1
+    ne = sb(2) & 7
+    nnoise = (sb(2) >> 3) & 3
+    sine0 = (sb(2) >> 5) & 3
+    frbits = sb(3) & 31
+    ea0 = ((sb(3) >> 5) & 7) - 1
+    tqsel = sb(4) & 31
+    ea1 = ((sb(4) >> 5) & 7) - 1
+    tenv = side[:, 5:11]                                # [B,6] slots
+    noise0 = sb(11) | (sb(12) << 8)
+    kx1, m1 = hb(H_KX1), hb(H_M1)
+    # kx0/m0 equal kx1/m1 except on the frames that ship them explicitly
+    # (the reset frame itself, aacsbr.c:958-959 assigns old <- new before
+    # the header read); told2 comes from the device carry
+    opt0 = jnp.full((B,), SIDE_HEAD, jnp.int32)
+    g1 = lambda off: jnp.take_along_axis(
+        side, off[:, None].clip(0, SIDE_MAX - 1), axis=1)[:, 0]
+    kx0 = jnp.where(kxm0_diff > 0, g1(opt0), kx1)
+    m0 = jnp.where(kxm0_diff > 0, g1(opt0 + 1), m1)
+    told2 = 2 * carry["tend"]
+    bw_off = opt0 + 2 * kxm0_diff
+    bwb = jnp.stack([g1(bw_off + i) for i in range(20)], axis=1)\
+        .reshape(B, 5, 4)
+    bw_ship = jax.lax.bitcast_convert_type(
         (bwb[..., 0] | (bwb[..., 1] << 8) | (bwb[..., 2] << 16)
          | (bwb[..., 3] << 24)).astype(jnp.int32), jnp.float32)
-
-    hb = lambda j: hdr[:, j]
+    bw_now = jnp.where(bw_present[:, None] > 0, bw_ship, carry["bw"])
+    side_head_end = bw_off + 20 * bw_present
     n0, n1 = hb(H_N0), hb(H_N1)
     nq, nlim = hb(H_NQ), hb(H_NLIM)
     npat = hb(H_NPATCH)
@@ -617,7 +659,7 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
     noisb = jnp.where(active, map_q.clip(0, NB_Q - 1), 0)
 
     # ---- sbr_dequant via LUTs (codes -> f32 values) ------------------------
-    soff = jnp.full((B, 1), SIDE_HEAD, jnp.int32)
+    soff = side_head_end[:, None]
     e5 = jnp.arange(E)[None, :]
     res_e = (frbits[:, None] >> e5) & 1                 # [B,5]
     nb_e = jnp.where(res_e > 0, n1[:, None], n0[:, None]) \
@@ -735,9 +777,11 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
                  & (k64 < (kx0 + m0)[:, None])).astype(f32)
     use_y_new = ((k64 >= kx1[:, None])
                  & (k64 < (kx1 + m1)[:, None])).astype(f32)
+    # start-gated: the v1 head shipped zero bw bytes on non-start frames;
+    # the carried bw would otherwise leak stale values into the plan
     bw_of_m = jnp.take_along_axis(bw_now, noisb, axis=1)
     hf_mask = mm.astype(f32)
-    bw_of_m = bw_of_m * hf_mask
+    bw_of_m = bw_of_m * hf_mask * startf[:, None]
     EAO = 2  # ENVELOPE_ADJUSTMENT_OFFSET
     ilo = t2[:, 0:1] + EAO
     ihi = t2[:, 5:6] + EAO
@@ -847,47 +891,61 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
         side, (off[:, None] + jnp.arange(n)[None, :]).clip(0, SIDE_MAX - 1),
         axis=1)
     psb = pg(ps_off, PS_HEAD)
-    penv = psb[:, PS_NENV] * ps_on
-    pflags = psb[:, PS_FLAGS]
+    pb0 = psb[:, PS_B0]
+    penv = (pb0 & 7) * ps_on
+    ipdopd_on = ((pb0 >> 3) & 1) * ps_on
+    pquant = ((pb0 >> 4) & 1) * ps_on
     npar = P.NR_PAR_BANDS[is34]
     pc_i = jnp.zeros((B, CP.PC_I_N), jnp.int32)
     pc_i = pc_i.at[:, CP.PI_ON].set(ps_on)
-    pc_i = pc_i.at[:, CP.PI_IPD].set((pflags & 1) * ps_on)
-    pc_i = pc_i.at[:, CP.PI_QUANT].set(((pflags >> 1) & 1) * ps_on)
+    pc_i = pc_i.at[:, CP.PI_IPD].set(ipdopd_on)
+    pc_i = pc_i.at[:, CP.PI_QUANT].set(pquant)
     pc_i = pc_i.at[:, CP.PI_NENV].set(penv)
-    pc_i = pc_i.at[:, CP.PI_ICCMODE].set(((pflags >> 2) & 7) * ps_on)
+    pc_i = pc_i.at[:, CP.PI_ICCMODE].set(((pb0 >> 5) & 7) * ps_on)
     pc_i = pc_i.at[:, CP.PI_NIPD].set(psb[:, PS_NIPD] * ps_on)
     pc_i = pc_i.at[:, CP.PI_TOP].set(psb[:, PS_TOP] * ps_on)
     bords = ((psb[:, PS_BORD:PS_BORD + 6] ^ 128) - 128) \
         * ps_on[:, None]                                # i8 semantics
     pc_i = pc_i.at[:, CP.PI_BORD:CP.PI_BORD + 6].set(bords)
+    npar_nib = (npar + 1) // 2
     iid_off = ps_off + PS_HEAD
-    icc_off = iid_off + penv * npar
+    iid_bpe = jnp.where(pquant > 0, npar, npar_nib)     # bytes per env
+    icc_off = iid_off + penv * iid_bpe
     j34 = jnp.arange(34)[None, None, :]
     em5 = jnp.arange(5)[None, :, None]
-    def codes5(off0):
-        pos = (off0[:, None, None] + em5 * npar + j34.clip(0, npar - 1))
-        vals = jnp.take_along_axis(side, pos.clip(0, SIDE_MAX - 1)
-                                   .reshape(B, -1), axis=1).reshape(B, 5, 34)
-        vals = (vals ^ 128) - 128
-        valid = (em5 < penv[:, None, None]) & (j34 < npar) \
+
+    def gather_ps(pos):
+        return jnp.take_along_axis(side, pos.clip(0, SIDE_MAX - 1)
+                                   .reshape(B, -1), axis=1)\
+            .reshape(B, 5, 34)
+
+    def valid_mask(width):
+        return (em5 < penv[:, None, None]) & (j34 < width) \
             & (ps_on > 0)[:, None, None]
-        return jnp.where(valid, vals, 0)
-    iid = codes5(iid_off)
-    icc = codes5(icc_off)
+
+    # iid: i8 bytes (fine quant) or +7-biased nibbles (coarse)
+    vb = gather_ps(iid_off[:, None, None] + em5 * npar
+                   + j34.clip(0, npar - 1))
+    vbyte = (vb ^ 128) - 128
+    vn = gather_ps(iid_off[:, None, None] + em5 * npar_nib + (j34 >> 1))
+    vnib = ((vn >> (4 * (j34 & 1))) & 15) - 7
+    iid = jnp.where(valid_mask(npar),
+                    jnp.where(pquant[:, None, None] > 0, vbyte, vnib), 0)
+    # icc: raw-code nibbles
+    vn = gather_ps(icc_off[:, None, None] + em5 * npar_nib + (j34 >> 1))
+    icc = jnp.where(valid_mask(npar), (vn >> (4 * (j34 & 1))) & 15, 0)
     nipd = psb[:, PS_NIPD].clip(0, 17)
-    ipdopd_on = (pflags & 1) * ps_on
-    ipd_off = icc_off + penv * npar
-    opd_off = ipd_off + penv * nipd * ipdopd_on
-    j17 = jnp.arange(17)[None, None, :]
+    nipd_nib = (nipd + 1) >> 1
+    ipd_off = icc_off + penv * npar_nib
+    opd_off = ipd_off + penv * nipd_nib * ipdopd_on
+
     def codes17(off0):
-        pos = (off0[:, None, None] + em5 * nipd[:, None, None] + j17)
-        vals = jnp.take_along_axis(side, pos.clip(0, SIDE_MAX - 1)
-                                   .reshape(B, -1), axis=1).reshape(B, 5, 17)
-        vals = (vals ^ 128) - 128
-        valid = (em5 < penv[:, None, None]) & (j17 < nipd[:, None, None]) \
+        vn = gather_ps(off0[:, None, None] + em5 * nipd_nib[:, None, None]
+                       + (j34 >> 1))
+        vals = (vn >> (4 * (j34 & 1))) & 15
+        valid = (em5 < penv[:, None, None]) & (j34 < nipd[:, None, None]) \
             & (ipdopd_on > 0)[:, None, None]
-        return jnp.where(valid, vals, 0)
+        return jnp.where(valid, vals, 0)[:, :, :17]
     ipd = codes17(ipd_off)
     opd = codes17(opd_off)
     pc_b = jnp.concatenate([
@@ -896,7 +954,9 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
     pc = dict(pc_i=pc_i, pc_b=pc_b)
 
     new_carry = dict(
-        hdr=hdr, s_idx=s_idx_next,
+        hdr=hdr, s_idx=s_idx_next, bw=bw_now,
+        tend=jnp.where(start > 0, jnp.take_along_axis(
+            tenv, ne.clip(0, 5)[:, None], axis=1)[:, 0], carry["tend"]),
         ws_prev=jnp.where(err > 0, 0, ws),
         kbd_prev=jnp.where(err > 0, 0, kbd))
     return core_meta, plan, pc, new_carry

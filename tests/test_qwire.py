@@ -113,7 +113,7 @@ def _decode(heaps, recs, S=640):
     heap = jnp.asarray(np.frombuffer(heaps, np.uint8).astype(np.int32))
     rec = jnp.asarray(np.stack(recs))
     fn = jax.jit(lambda h, r: qwire.decode_coeffs_jax(
-        h, r[:, qwire.R_TOKOFF], r[:, qwire.R_NTOK], S))
+        h, r[:, qwire.R_TOKOFF], r[:, qwire.R_W1] & 0xFFFF, S))
     return np.asarray(fn(heap, rec))
 
 
