@@ -208,6 +208,11 @@ def decode_band_types(br: BitReader, ics: IcsInfo):
 
 SF_OFFSET = 60  # no-bias output path (aacdec.c:580)
 
+# When set (by the qwire planner), decode_ics records the spectral
+# section's per-band bit positions so the emitter can ship the raw bits
+# (wire v4 spec-mode lanes, ops/spec_huff.py).
+CAPTURE_SPEC = False
+
 
 def decode_scalefactors(br: BitReader, global_gain: int, ics: IcsInfo,
                         band_type, run_end) -> np.ndarray:
@@ -318,7 +323,8 @@ def decode_tns(br: BitReader, ics: IcsInfo, object_type: int) -> TnsData:
 # Spectrum decode + dequant (the hot VLC loop; aacdec.c:988-1245)
 # ---------------------------------------------------------------------------
 def decode_spectrum_and_dequant(br: BitReader, sf, ics: IcsInfo, band_type,
-                                rng) -> np.ndarray:
+                                rng, bandpos: list | None = None
+                                ) -> np.ndarray:
     coef = np.zeros(1024, np.float32)
     icoef = coef.view(np.uint32)
     offsets = ics.swb_offset
@@ -328,6 +334,8 @@ def decode_spectrum_and_dequant(br: BitReader, sf, ics: IcsInfo, band_type,
     for g in range(ics.num_window_groups):
         g_len = ics.group_len[g]
         for i in range(ics.max_sfb):
+            if bandpos is not None:
+                bandpos.append(br.pos)
             bt = int(band_type[idx])
             off = int(offsets[i])
             off_len = int(offsets[i + 1]) - off
@@ -391,6 +399,8 @@ def decode_spectrum_and_dequant(br: BitReader, sf, ics: IcsInfo, band_type,
                         k += dim
             idx += 1
         g_base += g_len * 128
+    if bandpos is not None:
+        bandpos.append(br.pos)
     return coef
 
 
@@ -434,7 +444,11 @@ def decode_ics(br: BitReader, cd: ChannelData, sampling_index: int,
         cd.tns = TnsData()
     if br.get1():
         raise BitstreamError("SSR gain control not supported")
-    cd.coeffs = decode_spectrum_and_dequant(br, cd.sf, ics, cd.band_type, rng)
+    bandpos = [] if CAPTURE_SPEC else None
+    cd.coeffs = decode_spectrum_and_dequant(br, cd.sf, ics, cd.band_type,
+                                            rng, bandpos)
+    cd.spec_bandpos = bandpos
+    cd.pulse_present = pulse is not None
     if pulse is not None:
         apply_pulses(cd.coeffs, pulse[0], pulse[1], cd.sf, cd.band_type,
                      ics.swb_offset)

@@ -289,10 +289,65 @@ class QwirePlanningDecoder(Decoder):
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
+        from ..bitstream import aac_syntax as syn
+        syn.CAPTURE_SPEC = True
         self.frames_q = []   # per frame: list of per-lane (payload, rec)
         self.ps_is34 = None
         self.downsampled = 0
         self._hdr_sent = set()
+        self._cur_packet = b""
+
+    def decode_frame(self, packet: bytes):
+        self._cur_packet = bytes(packet)
+        return super().decode_frame(packet)
+
+    def _try_spec_block(self, cd):
+        """Raw-bits spec block for a clean long-window lane, or None.
+
+        Eligible when nothing modifies the decoded spectrum after the
+        VLC loop: LC object, single window group, no pulses/TNS, no
+        noise/intensity bands, no channel coupling in the stream."""
+        from . import qwire
+        from ..ops import spec_huff as SH
+        ics = cd.ics
+        bp = getattr(cd, "spec_bandpos", None)
+        if (self.m4ac.object_type != 2 or ics.num_window_groups != 1
+                or not bp or getattr(cd, "pulse_present", False)
+                or cd.tns.present):
+            return None
+        if any(et == T.TYPE_CCE for (et, _) in self.elements):
+            return None
+        bt = np.asarray(cd.band_type[:ics.max_sfb])
+        if ics.max_sfb and (bt > 11).any():
+            return None
+        nbits = bp[-1] - bp[0]
+        if nbits >= (1 << 13):
+            return None
+        secs, sf_idx = [], []
+        i = 0
+        while i < ics.max_sfb:
+            cb = int(bt[i])
+            j = i
+            while j < ics.max_sfb and int(bt[j]) == cb:
+                j += 1
+            blen = bp[j] - bp[i]
+            if blen >= (1 << 14):
+                return None
+            secs.append((cb, j - i, blen))
+            if cb >= 1:
+                for f in range(i, j):
+                    idx = qwire.sfidx_from_sf(cd.sf[f])
+                    if idx is None:
+                        return None
+                    sf_idx.append(idx)
+            i = j
+        if len(secs) > SH.SEC_MAX:
+            return None
+        for a, b in zip(sf_idx[:-1], sf_idx[1:]):
+            if not SH.SF_D_LO <= b - a <= SH.SF_D_HI:
+                return None
+        bits = qwire.extract_bits(self._cur_packet, bp[0], bp[-1])
+        return SH.pack_spec_block(secs, sf_idx, bits, nbits)
 
     def _spectral_to_sample(self, present):
         from ..bitstream.sbr_syntax import SBRContext
@@ -309,7 +364,11 @@ class QwirePlanningDecoder(Decoder):
             cd = el.cur[lane.ch]
             meta = dict(ws=int(cd.ics.window_sequence),
                         kbd=int(cd.ics.use_kb_window))
-            toks, ext = qwire.emit_coeff_tokens(cd.coeffs)
+            spec = None
+            if lane.elem_type == T.TYPE_SCE:
+                spec = self._try_spec_block(cd)
+            if spec is None:
+                toks, ext = qwire.emit_coeff_tokens(cd.coeffs)
             sbr = None
             header = b""
             if m.sbr == 1:
@@ -335,7 +394,12 @@ class QwirePlanningDecoder(Decoder):
             side = qwire.build_side(sbr, lane.ch, lane.elem_type,
                                     core_meta=meta,
                                     is34=self.ps_is34 or 0)
-            lanes_out.append(qwire.assemble_lane(toks, ext, side, header))
+            if spec is not None:
+                lanes_out.append(qwire.assemble_spec_lane(
+                    spec[0], spec[1], side, header))
+            else:
+                lanes_out.append(qwire.assemble_lane(toks, ext, side,
+                                                     header))
         self.frames_q.append(lanes_out)
         self.sample_rate = m.sample_rate << (
             (m.ext_sample_rate > m.sample_rate) if m.sbr == 1 else 0)
@@ -422,6 +486,11 @@ class QStreamBatchDecoder:
             heap += b"\0" * (4 - len(heap) % 4)
         self.S = max(64, int((recs[:, :, qwire.R_W1] & 0xFFFF).max()))
         self.S = -(-self.S // 64) * 64
+        mode = (recs[:, :, qwire.R_W2] >> 24) & 15
+        nb = (recs[:, :, qwire.R_W3] & 0x1FFF) * (mode == 1)
+        self.NB = -(-int(nb.max()) // 256) * 256 if nb.any() else 0
+        self.rate_idx = parse_adts_header(
+            BitReader(bytes(streams[0][:7]))).sampling_index
         self.heap_w = np.frombuffer(bytes(heap), np.float32)
         self.rec_w = recs.view(np.float32)
         self.L = L
@@ -432,7 +501,8 @@ class QStreamBatchDecoder:
         import jax
 
         from .heaac_graph import init_qwire_carry, qwire_scan_decoder
-        run = qwire_scan_decoder(self.is34, self.ds, self.S)
+        run = qwire_scan_decoder(self.is34, self.ds, self.S,
+                                 self.rate_idx, self.NB)
         carry = init_qwire_carry(self.L)
         _, pcm = run(jax.device_put(self.heap_w),
                      jax.device_put(self.rec_w), carry)
@@ -495,6 +565,8 @@ class QwirePipelinedDecoder:
             self.T = max(_count_adts_frames(s) for s in self.streams)
         self.sample_rate, self.is34, self.ds = rate, is34, ds
         self.S = token_cap
+        self.NB = 0              # raw-bits window (grows per parsed group)
+        self.rate_idx = hdr.sampling_index
         self.L = self.G * self.nl
         self.frame_counts: list = []
         # silence template: recs rows default to a shared silence payload
@@ -599,6 +671,11 @@ class QwirePipelinedDecoder:
         maxtok = int((recs[:, :, qwire.R_W1] & 0xFFFF).max())
         if maxtok > self.S:   # pathological stream: widen + recompile
             self.S = -(-maxtok // 64) * 64
+        mode = (recs[:, :, qwire.R_W2] >> 24) & 15
+        nb = (recs[:, :, qwire.R_W3] & 0x1FFF) * (mode == 1)
+        nbmax = -(-int(nb.max()) // 256) * 256 if nb.any() else 0
+        if nbmax > self.NB:
+            self.NB = nbmax
         return heap, cur, recs
 
     def decode(self):
@@ -623,7 +700,8 @@ class QwirePipelinedDecoder:
                 self._upload_w = min((cur + 3) // 4 + 65536, self._cap // 4)
             while (cur + 3) // 4 > self._upload_w:  # grow (rare)
                 self._upload_w = min(self._upload_w * 2, self._cap // 4)
-            run = qwire_scan_decoder(self.is34, self.ds, self.S)
+            run = qwire_scan_decoder(self.is34, self.ds, self.S,
+                                     self.rate_idx, self.NB)
             heap_w = heap[:self._upload_w * 4].view(np.float32)
             carry = init_qwire_carry(self.L)
             _, pcm = run(jax.device_put(heap_w),

@@ -179,10 +179,16 @@ def heaac_frame_qwire(coeffs, rec, heap, carry, is34: int = 0,
 
 
 @functools.cache
-def qwire_scan_decoder(is34: int, downsampled: int, S: int):
+def qwire_scan_decoder(is34: int, downsampled: int, S: int,
+                       rate_idx: int = -1, NB: int = 0):
     """jit of: token-decode all frames' coeffs in one parallel pass, then
     scan the fused frame graph over T frames.  heap_w is the f32-viewed
-    packed byte heap; rec_seq [T, L, 8] i32 bit patterns as f32."""
+    packed byte heap; rec_seq [T, L, REC_W] i32 bit patterns as f32.
+
+    With NB > 0, mode-1 (raw-bits) lanes additionally run the parallel
+    spectral-Huffman decode (ops/spec_huff.py) over NB-bit windows with
+    the swb tables of ``rate_idx``; token and spec results merge per
+    lane."""
     from . import qwire
 
     def run(heap_w, rec_w, carry):
@@ -198,6 +204,13 @@ def qwire_scan_decoder(is34: int, downsampled: int, S: int):
             coeffs = qwire.decode_coeffs_jax(
                 heap, flat[:, qwire.R_TOKOFF],
                 flat[:, qwire.R_W1] & 0xFFFF, S)
+            if NB > 0:
+                from ..ops import spec_huff
+                mode1 = ((flat[:, qwire.R_W2] >> 24) & 15) == 1
+                spec = spec_huff.decode_spec_jax(
+                    heap, flat[:, qwire.R_TOKOFF],
+                    flat[:, qwire.R_W3] * mode1, rate_idx, NB)
+                coeffs = jnp.where(mode1[:, None], spec, coeffs)
             coeffs = coeffs.reshape(L, T, 1024).transpose(1, 0, 2)
 
         def body(c, xs):

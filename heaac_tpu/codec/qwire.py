@@ -376,6 +376,41 @@ def assemble_lane(tokens: bytes, ext: bytes, side: bytes,
     return tokens + ext + side + header, rec
 
 
+def assemble_spec_lane(block: bytes, w3: int, side: bytes,
+                       header: bytes = b"") -> tuple[bytes, np.ndarray]:
+    """Spec-mode frame-lane: raw spectral bits + section map instead of
+    tokens (ops/spec_huff.py decodes on device).  mode=1 in w2."""
+    rec = np.zeros(REC_W, np.int32)
+    rec[R_W1] = len(block)
+    rec[R_W2] = len(side) | (len(header) << 16) | (1 << 24)
+    rec[R_W3] = w3
+    return block + side + header, rec
+
+
+def sfidx_from_sf(sf: float) -> int | None:
+    """Recover the pow2sf index from a normal-band scalefactor value
+    (sf == -pow2sf_tab[idx]; the table is strictly monotonic)."""
+    pow2 = pow2sf_tab()
+    idx = int(np.searchsorted(pow2, np.float32(-sf)))
+    if 0 <= idx < len(pow2) and pow2[idx] == np.float32(-sf):
+        return idx
+    return None
+
+
+def extract_bits(data: bytes, start: int, end: int) -> bytes:
+    """MSB-aligned copy of bits [start, end) of ``data``."""
+    nbits = end - start
+    if nbits <= 0:
+        return b""
+    b0, b1 = start >> 3, (end + 7) >> 3
+    x = int.from_bytes(data[b0:b1], "big")
+    seg_bits = (b1 - b0) * 8
+    x >>= seg_bits - (start & 7) - nbits      # keep the wanted bits
+    x &= (1 << nbits) - 1
+    pad = (-nbits) % 8
+    return (x << pad).to_bytes((nbits + 7) // 8, "big")
+
+
 def silence_lane() -> tuple[bytes, np.ndarray]:
     """Payload + record for a silence/padding lane."""
     toks = bytes([T_ZRUN0 - 1 + ZRUN_MAX]) * (1024 // ZRUN_MAX)

@@ -407,6 +407,97 @@ static inline void hh_take_cpe_direct(int* u0, int* u1) {
   g_qwd_cpe_used[0] = g_qwd_cpe_used[1] = 0;
 }
 
+// ---- wire v4 spec-mode capture (raw spectral bits; ops/spec_huff.py) ----
+static inline uint64_t wnd64(const uint8_t* buf, int64_t nbits,
+                             int64_t at) {
+  int64_t byte = at >> 3;
+  uint64_t x;
+  if (__builtin_expect((byte + 8) * 8 <= nbits, 1)) {
+    memcpy(&x, buf + byte, 8);
+    x = __builtin_bswap64(x);
+  } else {
+    x = 0;
+    for (int i = 0; i < 8; i++) {
+      uint64_t c = (byte + i) * 8 < nbits ? buf[byte + i] : 0;
+      x = (x << 8) | c;
+    }
+  }
+  return x << (at & 7);
+}
+
+// length-walk table: [cb][11-bit window] -> total advance in bits (code +
+// sign bits) in bits 0-5, cb11 escape count in bits 6-7; 0 = slow path
+// (code longer than 11 bits or invalid window).  The walk costs ~6
+// cycles/code vs ~40 for the full value decode — the spec-mode lane
+// never needs the values (the device Huffman-decodes the raw bits).
+static uint8_t cb_walk[12][2048];
+
+struct SpecCap {
+  int armed = 0;     // arm for the next SCE parse_ics (qwire path only)
+  int ok = 0;        // capture valid for the lane just parsed
+  int max_sfb = 0;
+  uint8_t band_cb[64];
+  uint16_t sfw[64];
+  int64_t bandpos[65];
+  const uint8_t* buf = nullptr;
+  int64_t nbits = 0;
+};
+static SpecCap g_spec;
+
+static int walk_spectrum(Bits* b, const Chan* ch, int64_t* bandpos) {
+  const IcsInfo* ics = &ch->ics;
+  const int* offsets = ics->swb_offset;
+  const uint8_t* buf = b->buf;
+  const int64_t nbits = b->nbits;
+  int64_t pos = b->pos;
+  for (int i = 0; i < ics->max_sfb; i++) {
+    bandpos[i] = pos;
+    int bt = ch->band_type[i];
+    if (bt == 0) continue;
+    const uint8_t* walk = cb_walk[bt];
+    int ncodes = (offsets[i + 1] - offsets[i]) / cb_dim[bt];
+    int c = 0;
+    while (c < ncodes) {
+      uint64_t w = wnd64(buf, nbits, pos);
+      int used = 0;
+      while (c < ncodes && used <= 44) {
+        uint8_t e = walk[(uint32_t)((w << used) >> 53)];
+        if (__builtin_expect(e != 0 && e < 64, 1)) {
+          used += e;
+          c++;
+          continue;
+        }
+        break;
+      }
+      pos += used;
+      if (pos > nbits) return -1;
+      if (c >= ncodes) break;
+      // slow path: long code or cb11 escape sequence
+      int64_t p2 = pos;
+      int code = vlc_get_at(buf, nbits, &p2, vlc_spec[bt]);
+      if (code < 0) return -1;
+      if (!cb_signed[bt]) p2 += cb_nz[bt][code];
+      if (bt == 11) {
+        const int8_t* tv = cb_vals[11] + code * 2;
+        for (int d = 0; d < 2; d++) {
+          if (tv[d] == 16) {
+            uint64_t u = wnd64(buf, nbits, p2);
+            int n1 = u == ~0ull ? 64 : __builtin_clzll(~u);
+            if (n1 > 8) return -1;
+            p2 += 2 * n1 + 5;
+          }
+        }
+      }
+      if (p2 > nbits) return -1;
+      pos = p2;
+      c++;
+    }
+  }
+  bandpos[ics->max_sfb] = pos;
+  b->pos = pos;
+  return 0;
+}
+
 // --------------------------------------------------------------- parse ----
 static int parse_ics_info(Bits* b, IcsInfo* ics, int sampling_index) {
   if (getbit(b)) return -1;  // reserved
@@ -1157,6 +1248,53 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
     if (parse_tns(b, ch)) return -1;
   }
   if (getbit(b)) return -2;  // SSR
+  // wire v4 spec capture: ship the raw spectral bits (no value decode at
+  // all) when nothing rewrites the spectrum after the VLC loop and the
+  // sf walk fits the 5-bit wire deltas; the device Huffman-decodes
+  // (ops/spec_huff.py).  Falls through to the full decode otherwise.
+  g_spec.ok = 0;
+  if (g_spec.armed && ch->ics.num_window_groups == 1
+      && ch->ics.num_windows == 1 && !ch->tns.present && !pulse_count
+      && ch->ics.max_sfb > 0 && ch->ics.max_sfb < 64) {
+    int bad = 0, nsec = 1, prev_sf = -1;
+    for (int i = 0; i < ch->ics.max_sfb; i++) {
+      int bt = ch->band_type[i];
+      if (bt >= 12) {  // noise / intensity: device fast path can't
+        bad = 1;
+        break;
+      }
+      if (i && bt != ch->band_type[i - 1]) nsec++;
+      if (bt >= 1) {
+        int s = ch->sfwb[i];
+        if (prev_sf >= 0) {
+          int d = s - prev_sf;
+          if (d < -31 || d > 32) {
+            bad = 1;
+            break;
+          }
+        }
+        prev_sf = s;
+      }
+    }
+    if (!bad && nsec <= 24) {
+      int64_t bp0 = b->pos;
+      if (walk_spectrum(b, ch, g_spec.bandpos) == 0
+          && g_spec.bandpos[ch->ics.max_sfb] - g_spec.bandpos[0]
+                 < (1 << 13)) {
+        g_spec.ok = 1;
+        g_spec.max_sfb = ch->ics.max_sfb;
+        for (int i = 0; i < ch->ics.max_sfb; i++) {
+          g_spec.band_cb[i] = (uint8_t)ch->band_type[i];
+          g_spec.sfw[i] = ch->sfwb[i];
+        }
+        g_spec.buf = b->buf;
+        g_spec.nbits = b->nbits;
+        return 0;
+      }
+      b->pos = bp0;  // spec block too big: full decode + tokens instead
+      g_spec.ok = 0;
+    }
+  }
   // direct token emission only when decode order == output order and no
   // post-pass rewrites coefficients (long window, no TNS, no pulses, no
   // intensity bands — those are filled from the other channel later)
@@ -1215,6 +1353,40 @@ int ht_init() {
   BV(11, ht_spec_codes_11, ht_spec_bits_11, 289);
 #undef BV
   build_codebooks();
+  // spec-mode length-walk LUTs (one entry per 11-bit window; codes longer
+  // than 11 bits fall to the two-level VLC slow path)
+  {
+    const uint32_t* cds[12] = {nullptr, ht_spec_codes_1, ht_spec_codes_2,
+                               ht_spec_codes_3, ht_spec_codes_4,
+                               ht_spec_codes_5, ht_spec_codes_6,
+                               ht_spec_codes_7, ht_spec_codes_8,
+                               ht_spec_codes_9, ht_spec_codes_10,
+                               ht_spec_codes_11};
+    const uint8_t* bts[12] = {nullptr, ht_spec_bits_1, ht_spec_bits_2,
+                              ht_spec_bits_3, ht_spec_bits_4,
+                              ht_spec_bits_5, ht_spec_bits_6,
+                              ht_spec_bits_7, ht_spec_bits_8,
+                              ht_spec_bits_9, ht_spec_bits_10,
+                              ht_spec_bits_11};
+    const int cnt[12] = {0, 81, 81, 81, 81, 81, 81, 64, 64, 169, 169, 289};
+    for (int cb = 1; cb <= 11; cb++) {
+      memset(cb_walk[cb], 0, sizeof(cb_walk[cb]));
+      for (int ci = 0; ci < cnt[cb]; ci++) {
+        int len = bts[cb][ci];
+        if (len > 11) continue;
+        int adv = len + (cb_signed[cb] ? 0 : cb_nz[cb][ci]);
+        int nesc = 0;
+        if (cb == 11) {
+          const int8_t* tv = cb_vals[11] + ci * 2;
+          nesc = (tv[0] == 16) + (tv[1] == 16);
+        }
+        uint8_t e = (uint8_t)(adv | (nesc << 6));
+        uint32_t base = cds[cb][ci] << (11 - len);
+        for (uint32_t j = 0; j < (1u << (11 - len)); j++)
+          cb_walk[cb][base + j] = e;
+      }
+    }
+  }
   done = 1;
   return 0;
 }

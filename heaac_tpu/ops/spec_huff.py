@@ -157,10 +157,15 @@ def encode_section(bw: BitWriter, cb: int, q: np.ndarray) -> None:
             bw.put(av - (1 << n), n)
 
 
+SF_D_LO, SF_D_HI = -31, 32    # 6-bit packed sf deltas (d + 31)
+
+
 def pack_spec_block(sections, sf_idx, spec_bits: bytes, nbits: int):
     """sections: list of (cb, nsfb, bitlen); sf_idx: per-CODED-band pow2sf
-    indices (first entry becomes sfw0 in the record word).  Returns
-    (block bytes, w3) where w3 = nbits | nsec<<13 | sfidx0<<18."""
+    indices (first entry becomes sfw0 in the record word; the rest travel
+    as packed 6-bit deltas — callers fall back to token mode when a delta
+    leaves [-31, 32]).  Returns (block bytes, w3) where
+    w3 = nbits | nsec<<13 | sfidx0<<18."""
     b = bytearray()
     for cb, nsfb, blen in sections:
         assert 0 <= cb <= 11 and nsfb < 64 and blen < (1 << 14)
@@ -168,11 +173,13 @@ def pack_spec_block(sections, sf_idx, spec_bits: bytes, nbits: int):
         b += u24.to_bytes(3, "little")
     sfidx0 = int(sf_idx[0]) if len(sf_idx) else 0
     prev = sfidx0
+    sfw = BitWriter()
     for s in sf_idx:
         d = int(s) - prev
-        assert -128 <= d < 128
-        b.append((d + 128) & 0xFF)
+        assert SF_D_LO <= d <= SF_D_HI
+        sfw.put(d - SF_D_LO, 6)
         prev = int(s)
+    b += sfw.tobytes()
     b += spec_bits
     assert nbits < (1 << 13) and len(sections) <= SEC_MAX
     assert 0 <= sfidx0 < 512
@@ -230,13 +237,18 @@ def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int):
     coded_f = (cb_f >= 1) & (cb_f <= 11) & in_f
     rank_f = jnp.cumsum(coded_f.astype(jnp.int32), axis=1) - coded_f
     sf_base = off + 3 * nsec
-    d_f = (g(sf_base[:, None] + rank_f) - 128) * coded_f
-    # first coded band's delta byte is 0 by construction -> plain cumsum
+    # 6-bit packed deltas at bit 6*rank of the sf region (first is 0)
+    q6 = 6 * rank_f
+    sb_ = sf_base[:, None] + (q6 >> 3)
+    w6 = (g(sb_) << 16) | (g(sb_ + 1) << 8) | g(sb_ + 2)
+    fld = (w6 >> (24 - (q6 & 7) - 6)) & 63
+    d_f = (fld + SF_D_LO) * coded_f
+    # first coded band's delta field is 0 by construction -> plain cumsum
     sfidx_f = sfidx0[:, None] + jnp.cumsum(d_f, axis=1)
     sf_f = -pow2[sfidx_f.clip(0, 427) & 511]      # normal bands: negative
 
     # ---- per-bit-offset classification -------------------------------------
-    bits_base = sf_base + nsf                     # byte offset of spec bits
+    bits_base = sf_base + (6 * nsf + 7) // 8      # byte offset of spec bits
     i = jnp.arange(NBITS)[None, :]
     live = i < nbits[:, None]
 

@@ -128,7 +128,8 @@ class ShardedQwireDecoder:
             while (cur + 3) // 4 > dec._upload_w:  # grow (rare): a later
                 # group's heap cursor can exceed group 0's sizing estimate
                 dec._upload_w = min(dec._upload_w * 2, dec._cap // 4)
-            run = qwire_scan_decoder(dec.is34, dec.ds, dec.S)
+            run = qwire_scan_decoder(dec.is34, dec.ds, dec.S,
+                                     dec.rate_idx, dec.NB)
             heap_w = jax.device_put(
                 heap[:dec._upload_w * 4].view(np.float32), self._sh_rep)
             rec_w = jax.device_put(recs.view(np.float32), self._sh_rec)

@@ -53,9 +53,10 @@ def make_lane(rng, sampling_index):
             q = rng.choice([-1, 1], nvals) * rng.integers(0, lav + 1, nvals)
         # per-sfb scalefactors (random walk)
         for f in range(a, b):
-            step = 0 if cur_sf is None else int(rng.integers(-60, 61))
+            step = 0 if cur_sf is None else int(
+                rng.integers(SH.SF_D_LO, SH.SF_D_HI + 1))
             nsf = 200 if cur_sf is None else \
-                int(np.clip(cur_sf + step, 0, 427))
+                int(np.clip(cur_sf + step, 185, 427))
             sf_idx.append(nsf)
             w0, w1 = int(off[f]), int(off[f + 1])
             sfv = -np.float32(pow2[nsf])
