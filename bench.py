@@ -32,9 +32,10 @@ FRAMES = 50
 
 
 def make_distinct_streams(n: int) -> list:
-    """n distinct HE-AACv2 streams: 8 bundled distinct LC cores crossed
-    with per-stream SBR/PS parameter streams (distinct seeds).  Cached in
-    /tmp after first generation (~50 ms/stream)."""
+    """n genuinely distinct HE-AACv2 streams (any n): 8 bundled distinct
+    LC cores crossed with per-stream SBR/PS parameter streams (distinct
+    seeds, spliced per stream).  Cached in /tmp after first generation
+    (~50 ms/stream)."""
     from pathlib import Path
 
     from heaac_tpu.io.heaac_testgen import (PsStreamWriter, SbrStreamWriter,
@@ -51,10 +52,21 @@ def make_distinct_streams(n: int) -> list:
         if c.exists():
             out.append(c.read_bytes())
             continue
-        w = SbrStreamWriter(core_rate=24000, is_cpe=False, env_hi_shift=-12,
-                            seed=1000 + 7 * i, invf_modes=(0, 1, 2, 3),
-                            ps_writer=PsStreamWriter(seed=2000 + 5 * i))
-        he = splice_sbr_into_lc(cores[i % 8], w)
+        for tries in range(8):
+            # a rare parameter draw can overflow the single-FIL payload
+            # bound (269 bytes); re-draw deterministically
+            try:
+                w = SbrStreamWriter(
+                    core_rate=24000, is_cpe=False, env_hi_shift=-12,
+                    seed=1000 + 7 * i + 1000003 * tries,
+                    invf_modes=(0, 1, 2, 3),
+                    ps_writer=PsStreamWriter(seed=2000 + 5 * i))
+                he = splice_sbr_into_lc(cores[i % 8], w)
+                break
+            except AssertionError:
+                continue
+        else:
+            raise RuntimeError(f"stream {i}: could not fit FIL payload")
         c.write_bytes(he)
         out.append(he)
     return out
@@ -63,16 +75,17 @@ def make_distinct_streams(n: int) -> list:
 def main():
     from heaac_tpu.codec.batch import QwirePipelinedDecoder
 
-    # default B=512: every lane is a genuinely distinct bitstream (the
-    # bundled distinct-stream pool is 512; larger B tiles it).  Pass a
-    # batch size argument for the larger configs (2048/4096).
+    # default B=512: every lane is a genuinely distinct bitstream.  Pass a
+    # batch size argument for the larger configs (2048/4096); with
+    # HEAAC_BENCH_ALL_DISTINCT=1 the pool grows to B distinct streams
+    # (first generation ~50 ms/stream, then /tmp-cached) instead of
+    # tiling the 512-stream pool.
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    # the shared box swings ~+-40% in CPU throughput on minute scales;
-    # more best-of reps ride out the slow phases
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     group = int(os.environ.get("HEAAC_BENCH_GROUP", "256"))
 
-    distinct = make_distinct_streams(min(B, 512))
+    pool = B if os.environ.get("HEAAC_BENCH_ALL_DISTINCT") else min(B, 512)
+    distinct = make_distinct_streams(pool)
     # every lane is its own byte buffer, parsed individually
     streams = [distinct[i % len(distinct)] for i in range(B)]
 
@@ -111,21 +124,30 @@ def main():
     print(f"# device-only: {audio_s / dev_s:.0f}x ({dev_s:.4f}s)",
           file=sys.stderr)
 
-    # steady-state end-to-end: re-parses every lane from bytes, re-uploads
-    # plans, decodes on device; best-of-reps (shared-tunnel TPU variance)
-    best = 0.0
+    # sustained end-to-end: every rep re-parses every lane from its own
+    # bytes, re-uploads the wire, and decodes on device, back to back.
+    # The HEADLINE is the long-run aggregate (total audio / total wall
+    # across all reps) — the steady-state number, not a best-of-burst;
+    # per-rep figures and best/median print as diagnostics so rep decay
+    # (transport-throttle exhaustion) is visible in the log.
+    walls = []
     for _ in range(reps):
         t0 = time.perf_counter()
         dec.decode()
         wall = time.perf_counter() - t0
-        best = max(best, audio_s / wall)
+        walls.append(wall)
         print(f"# end-to-end rep: {audio_s / wall:.0f}x ({wall:.3f}s wall, "
               f"{audio_s:.0f}s audio)", file=sys.stderr)
+    sustained = audio_s * len(walls) / sum(walls)
+    best = audio_s / min(walls)
+    med = audio_s / sorted(walls)[len(walls) // 2]
+    print(f"# sustained (aggregate over {reps} reps): {sustained:.0f}x; "
+          f"best {best:.0f}x; median {med:.0f}x", file=sys.stderr)
     print(json.dumps({
-        "metric": "end_to_end_realtime_factor_heaacv2_48k_per_chip",
-        "value": round(best, 2),
+        "metric": "sustained_end_to_end_realtime_factor_heaacv2_48k_per_chip",
+        "value": round(sustained, 2),
         "unit": "x_realtime",
-        "vs_baseline": round(best / 5000.0, 4),
+        "vs_baseline": round(sustained / 5000.0, 4),
     }))
 
 
