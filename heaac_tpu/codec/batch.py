@@ -140,11 +140,12 @@ def parse_stream_plans(data: bytes, asc: bytes | None = None,
         frames = [f[9 - (f[1] & 1) * 2:] for f in frames]
     else:
         hdr = parse_adts_header(BitReader(frames[0][:7]))
-        if hdr.chan_config in (1, 2) and hdr.object_type == 2:
+        if hdr.chan_config <= 7 and hdr.object_type == 2:
             # native whole-stream HE host front-end (he_host.inc): ADTS +
             # core + SBR/PS side info + plan assembly in one C++ call,
-            # bit-exact vs this Python path; falls through for
-            # PCE/CCE/Main/SSR or PS band-mode changes
+            # bit-exact vs this Python path, for chan_config 0-7 (in-band
+            # PCE incl.); falls through for CCE/Main/SSR or PS band-mode
+            # changes
             from .. import native
             if native.available():
                 parse = (native.parse_he_stream_compact if compact
@@ -551,11 +552,12 @@ class QwirePipelinedDecoder:
         self.streams = [bytes(s) for s in streams]
         hdr = parse_adts_header(BitReader(self.streams[0][:7]))
         self.hdr = hdr
-        self.nl = hdr.chan_config
         self.G = min(group_streams, len(self.streams))
         frames0, rate, nl, is34, ds = parse_stream_qwire(
             self.streams[0], max_frames=max_frames)
-        assert nl == self.nl
+        # lane count comes from the parsed layout, not the header field
+        # (configs 3-7 have more lanes than elements; config 0 none)
+        self.nl = nl
         if max_frames is not None:
             self.T = max_frames
         else:
@@ -599,8 +601,8 @@ class QwirePipelinedDecoder:
         self._cap *= 2
         self._bufsets = [None, None]
         self._upload_w = None
-        log.info("qwire pipelined decode: heap grown to %d MB",
-                 self._cap >> 20)
+        log.info("qwire pipelined decode: heap grown to %d KB",
+                 self._cap >> 10)
 
     def _parse_group(self, group: list, bufset: int):
         import ctypes as C
@@ -631,6 +633,8 @@ class QwirePipelinedDecoder:
             if native_ok:
                 nf = fn(data, len(data), si, sr, cc, heap_p, heap.nbytes,
                         cur_ref, recs_p, T, stride, lane0, info_p)
+                if nf >= 0 and int(info[0]) != self.nl:
+                    nf = -1  # layout mismatch: python fallback below
                 if nf >= 0:
                     cur = int(cur_c.value)
                     self.frame_counts.append(nf)
@@ -931,11 +935,11 @@ class PipelinedStreamBatchDecoder:
         self.streams = [bytes(s) for s in streams]
         hdr = parse_adts_header(BitReader(self.streams[0][:7]))
         self.hdr = hdr
-        self.nl = hdr.chan_config  # 1 -> SCE lane, 2 -> CPE lanes
         self.G = min(group_streams, len(self.streams))
-        # discover frame count + SBR/PS mode from the first stream
+        # discover lane count + frame count + SBR/PS mode from stream 0
         first = parse_stream_plans(self.streams[0], max_frames=max_frames,
                                    compact=True)
+        self.nl = first[4]
         self.T = (len(first[0]["coeffs"]) if max_frames is None
                   else max_frames)
         self.sample_rate = first[3]
@@ -980,6 +984,8 @@ class PipelinedStreamBatchDecoder:
                     data, self.hdr.sampling_index, self.hdr.sample_rate,
                     self.hdr.chan_config, coeffs, rec, gi * self.nl,
                     self.T, self._mask_c, self._mask_r)
+                if r is not None and r[1]["lanes"] != self.nl:
+                    r = None   # layout mismatch: python fallback
             if r is not None:
                 self.frame_counts.append(r[0])
                 reset_tail(slice(gi * self.nl, (gi + 1) * self.nl), r[0])
@@ -1185,25 +1191,35 @@ def decode_batch(streams: list) -> list:
     the single-stream decoder for unparsable streams.  Returns
     [int16 [n, ch]] in input order.
     """
+    from .. import native
     from ..bitstream.adts import parse_adts_header, probe_adts
     from ..bitstream.reader import BitReader
     from .decoder import Decoder
 
+    native_ok = native.available()
     buckets: dict = {}
     meta = []
     for i, data in enumerate(streams):
         hdr = parse_adts_header(BitReader(data[:7]))
-        # probe SBR presence cheaply: parse the first frame fully
-        probe = Decoder(adts_probe=data[:7])
-        first = split_adts_stream(data)[0]
-        try:
-            probe.decode_frame(first)
-            sbr_on = probe.m4ac.sbr == 1
-            ps34 = any(el.sbr is not None and el.sbr.ps is not None
-                       and el.sbr.ps.is34bands
-                       for el in probe.elements.values())
-        except Exception:
-            sbr_on, ps34 = False, False
+        # cheap probe: the native front-end length-walks two frames
+        # (~10 us/stream); the Python full-decode probe is the fallback
+        sbr_on = ps34 = None
+        if native_ok and hdr.object_type == 2 and hdr.chan_config <= 7:
+            p = native.probe_he_stream(data, hdr.sampling_index,
+                                       hdr.sample_rate, hdr.chan_config)
+            if p is not None:
+                sbr_on, ps34 = bool(p["sbr"]), bool(p["is34"])
+        if sbr_on is None:
+            probe = Decoder(adts_probe=data[:7])
+            first = split_adts_stream(data)[0]
+            try:
+                probe.decode_frame(first)
+                sbr_on = probe.m4ac.sbr == 1
+                ps34 = any(el.sbr is not None and el.sbr.ps is not None
+                           and el.sbr.ps.is34bands
+                           for el in probe.elements.values())
+            except Exception:
+                sbr_on, ps34 = False, False
         kind = "he" if sbr_on else "lc"
         key = (kind, hdr.sampling_index, hdr.chan_config, int(ps34))
         buckets.setdefault(key, []).append(i)
@@ -1211,23 +1227,36 @@ def decode_batch(streams: list) -> list:
 
     results: list = [None] * len(streams)
     for key, idxs in buckets.items():
-        kind = key[0]
-        group = [streams[i] for i in idxs]
-        try:
-            _decode_bucket(kind, group, idxs, streams, results)
-        except Exception as exc:
-            # anything the batched graphs cannot plan (mid-stream config
-            # changes, exotic layouts) decodes on the single-stream path —
-            # an invisible perf cliff unless logged (utils/metrics.log)
-            from ..utils.metrics import log
-            log.warning(
-                "decode_batch: bucket %s (%d streams) fell back to the "
-                "single-stream decoder: %s: %s", key, len(idxs),
-                type(exc).__name__, exc)
-            for i in idxs:
-                dec = Decoder(adts_probe=streams[i][:7])
-                results[i] = dec.decode(streams[i])
+        _decode_bucket_retry(key, idxs, streams, results)
     return results
+
+
+def _decode_bucket_retry(key, idxs, streams, results, depth: int = 0):
+    """Decode one bucket; on failure bisect so one corrupt stream demotes
+    only itself (not the whole bucket) to the single-stream path."""
+    from ..utils.metrics import log
+    from .decoder import Decoder
+
+    group = [streams[i] for i in idxs]
+    try:
+        _decode_bucket(key[0], group, idxs, streams, results)
+        return
+    except Exception as exc:
+        if len(idxs) == 1:
+            log.warning(
+                "decode_batch: stream %d fell back to the single-stream "
+                "decoder: %s: %s", idxs[0], type(exc).__name__, exc)
+            dec = Decoder(adts_probe=streams[idxs[0]][:7])
+            results[idxs[0]] = dec.decode(streams[idxs[0]])
+            return
+        if depth == 0:
+            log.warning(
+                "decode_batch: bucket %s (%d streams) failed (%s: %s); "
+                "bisecting to isolate the offender", key, len(idxs),
+                type(exc).__name__, exc)
+    mid = len(idxs) // 2
+    _decode_bucket_retry(key, idxs[:mid], streams, results, depth + 1)
+    _decode_bucket_retry(key, idxs[mid:], streams, results, depth + 1)
 
 
 def _decode_bucket(kind, group, idxs, streams, results):

@@ -174,6 +174,7 @@ class Decoder:
         present = []
         che = None
         che_prev, etype_prev = None, None
+        self._elem_ends = []   # (etype, eid, end bitpos) per channel elem
         for el in self.elements.values():
             el.present_this_frame = False
         while True:
@@ -224,6 +225,8 @@ class Decoder:
                 if br.bits_left() < 8 * cnt:
                     raise BitstreamError("overread in fill element")
                 self._decode_extension(br, cnt, che_prev, etype_prev)
+            if etype in (T.TYPE_SCE, T.TYPE_CPE, T.TYPE_CCE, T.TYPE_LFE):
+                self._elem_ends.append((etype, eid, br.pos))
             che_prev, etype_prev = che, etype
             if br.bits_left() < 3:
                 raise BitstreamError("overread: no END element")

@@ -564,8 +564,12 @@ def init_qcarry(B: int):
     bytes, s_indexmapped, chirp bw, t_env[ne] of the previous start frame
     (the reference's t_env_num_env_old), window chain."""
     import jax.numpy as jnp
+    # kx starts at 32 (the spec-typo pure-upsampling init, aacsbr.c:130):
+    # lanes that never receive an SBR header — LFE, plain-LC lanes in a
+    # multi-element stream — must pass X_low through all 32 core bands
+    hdr0 = jnp.zeros((B, HDR_MAX), jnp.int32).at[:, H_KX1].set(32)
     return dict(
-        hdr=jnp.zeros((B, HDR_MAX), jnp.int32),
+        hdr=hdr0,
         s_idx=jnp.zeros((B, M), jnp.int32),
         bw=jnp.zeros((B, 5), jnp.float32),
         tend=jnp.zeros((B,), jnp.int32),

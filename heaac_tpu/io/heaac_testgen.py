@@ -728,8 +728,89 @@ class PsStreamWriter:
 # CCE (channel coupling) test vectors -- requires a PCE-configured stream
 # since the default channel configs map no CCEs (aacdectab.h:74-82)
 # ---------------------------------------------------------------------------
-def _write_pce(bw: BitWriter, sampling_index: int) -> None:
-    """PCE declaring 1 front SCE + 1 CCE (decode_pce, aacdec.c:303-349)."""
+def splice_sbr_multi(lc_adts: bytes, writers: dict) -> bytes:
+    """Insert an SBR fill element after each channel element of a
+    multi-element LC ADTS stream (5.1 HE-AAC style: one SBR payload per
+    SCE/CPE, keyed by (etype, eid) in ``writers``; LFE stays bare)."""
+    frames = split_adts_stream(lc_adts)
+    hdr0 = parse_adts_header(BitReader(frames[0]))
+    dec = Decoder(adts_probe=frames[0][:7])
+    out = bytearray()
+    hdr_bits = 56
+    for f in frames:
+        dec_br = BitReader(f)
+        parse_adts_header(dec_br)
+        dec._parse_raw_data_block(dec_br)
+        bw = BitWriter()
+        cur = hdr_bits
+        for etype, eid, pos in dec._elem_ends:
+            bw.put_bits_from(f, cur, pos - cur)
+            cur = pos
+            w = writers.get((etype, eid))
+            if w is None:
+                continue
+            payload = w.sbr_payload()
+            ext = BitWriter()
+            ext.put(4, 0xE if w.crc else 0xD)
+            ext.extend(payload)
+            cnt = (ext.nbits + 7) // 8
+            ext.put(8 * cnt - ext.nbits, 0)
+            bw.put(3, T.TYPE_FIL)
+            if cnt >= 15:
+                bw.put(4, 15)
+                bw.put(8, cnt - 15 + 1)
+            else:
+                bw.put(4, cnt)
+            bw.extend(ext)
+        bw.put_bits_from(f, cur, dec._end_bitpos - cur)
+        bw.put(3, T.TYPE_END)
+        bw.align()
+        body = bw.bytes()
+        full_len = 7 + len(body)
+        hdr = bytearray(f[:7])
+        hdr[3] = (hdr[3] & 0xFC) | (full_len >> 11)
+        hdr[4] = (full_len >> 3) & 0xFF
+        hdr[5] = (hdr[5] & 0x1F) | ((full_len & 7) << 5)
+        out += bytes(hdr) + body
+    return bytes(out)
+
+
+def to_pce_config0(lc_adts: bytes) -> bytes:
+    """Rewrite a mono LC ADTS stream as chan_config=0 with an in-band PCE
+    (1 front SCE, no CCE) leading every frame."""
+    frames = split_adts_stream(lc_adts)
+    hdr0 = parse_adts_header(BitReader(frames[0]))
+    dec = Decoder(adts_probe=frames[0][:7])
+    out = bytearray()
+    for f in frames:
+        dec_br = BitReader(f)
+        parse_adts_header(dec_br)
+        body_start = dec_br.pos
+        dec._parse_raw_data_block(dec_br)
+        bw = BitWriter()
+        _write_pce(bw, hdr0.sampling_index, num_cc=0)
+        bw.put_bits_from(f, body_start, dec._end_bitpos - body_start)
+        bw.put(3, T.TYPE_END)
+        bw.align()
+        body = bw.bytes()
+        full_len = 7 + len(body)
+        hb = BitWriter()
+        hb.put(12, 0xFFF); hb.put1(0); hb.put(2, 0); hb.put1(1)
+        hb.put(2, hdr0.object_type - 1)
+        hb.put(4, hdr0.sampling_index)
+        hb.put1(0)
+        hb.put(3, 0)                 # chan_config = 0 (PCE in-band)
+        hb.put(4, 0)
+        hb.put(13, full_len)
+        hb.put(11, 0x7FF)
+        hb.put(2, 0)
+        out += hb.bytes() + body
+    return bytes(out)
+
+
+def _write_pce(bw: BitWriter, sampling_index: int, num_cc: int = 1) -> None:
+    """PCE declaring 1 front SCE (+ 1 CCE when num_cc; decode_pce,
+    aacdec.c:303-349)."""
     bw.put(3, T.TYPE_PCE)
     bw.put(4, 0)            # element_instance_tag
     bw.put(2, 1)            # object_type (LC-1)
@@ -739,10 +820,11 @@ def _write_pce(bw: BitWriter, sampling_index: int) -> None:
     bw.put(4, 0)            # num_back
     bw.put(2, 0)            # num_lfe
     bw.put(3, 0)            # num_assoc_data
-    bw.put(4, 1)            # num_cc
+    bw.put(4, num_cc)       # num_cc
     bw.put(3, 0)            # mixdown flags
     bw.put1(0); bw.put(4, 0)   # front: SCE tag 0
-    bw.put1(0); bw.put(4, 0)   # cc: tag 0
+    for _ in range(num_cc):
+        bw.put1(0); bw.put(4, 0)   # cc: tag 0
     bw.align()
     bw.put(8, 0)            # comment length
 

@@ -225,7 +225,9 @@ def parse_he_stream_compact(data: bytes, sampling_index: int,
 
     from ..codec import compact_plan as cp
     L = lib()
-    nl = chan_config
+    nl = _LANES_FOR_CONFIG.get(chan_config)
+    if nl is None:
+        return None   # config 0: lane count unknown pre-parse
     coeffs = np.zeros((max_frames, nl, 1024), np.float32)
     meta = np.zeros((max_frames, nl, 8), np.int32)
     sci = np.zeros((max_frames, nl, cp.SC_I_N), np.int32)
@@ -344,6 +346,35 @@ def parse_he_stream_qwire_into(data: bytes, sampling_index: int,
                                    err_frames=int(info[3]))
 
 
+
+# output lanes per channel config (config 7 has 8 channels; config 0's
+# layout arrives in-band and is not known before the parse)
+_LANES_FOR_CONFIG = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 8}
+
+
+def probe_he_stream(data: bytes, sampling_index: int, core_rate: int,
+                    chan_config: int):
+    """Cheap stream probe: run the native whole-stream front-end on the
+    first two frames only (length-walked spectra, no device plans kept) —
+    the bucketing analogue of the reference's header-only parse
+    (aac_ac3_parser.c:77-97).  Returns dict(lanes, sbr, is34) or None
+    when the stream needs the Python prober."""
+    import ctypes as C
+    L = lib()
+    heap = np.zeros(1 << 16, np.uint8)
+    recs = np.zeros((2, 8, 4), np.int32)
+    info = np.zeros(4, np.int32)
+    cur = C.c_int64(0)
+    r = L.hh_parse_he_stream_qwire(
+        data, min(len(data), 1 << 14), sampling_index, core_rate,
+        chan_config, heap.ctypes.data_as(C.POINTER(C.c_uint8)), heap.nbytes,
+        C.byref(cur), recs.ctypes.data_as(C.POINTER(C.c_int32)),
+        2, 8, 0, info.ctypes.data_as(C.POINTER(C.c_int32)))
+    if r < 0:
+        return None
+    return dict(lanes=int(info[0]), sbr=int(info[1]), is34=int(info[2]))
+
+
 def parse_he_stream(data: bytes, sampling_index: int, core_rate: int,
                     chan_config: int, max_frames: int):
     """Whole-stream native HE-AAC host front-end: core coeffs + SBR/PS
@@ -352,7 +383,9 @@ def parse_he_stream(data: bytes, sampling_index: int, core_rate: int,
     leaves, or None when the stream needs the Python fallback."""
     import ctypes as C
     L = lib()
-    nl = chan_config  # 1 -> SCE, 2 -> CPE
+    nl = _LANES_FOR_CONFIG.get(chan_config)
+    if nl is None:
+        return None   # config 0: lane count unknown pre-parse
     coeffs = np.zeros((max_frames, nl, 1024), np.float32)
     meta = np.zeros((max_frames, nl, 8), np.int32)
     planf = np.zeros((max_frames, nl, PLAN_F_N), np.float32)

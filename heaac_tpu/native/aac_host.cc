@@ -287,27 +287,40 @@ struct Chan {
 // final float is NOT a plain (+-cbrt[n])*(+-pow2sf[si]) product (PNS, M/S,
 // intensity, pulses, TNS) so the tokenizer ships them as raw f32 words.
 // Single-threaded by design (one parse at a time per process).
+enum { QW_MAX_LANES = 8, QW_MAX_ELEMS = 6 };
+
 struct QwCapture {
   int on = 0;
-  const float* base[2] = {nullptr, nullptr};
-  int16_t q[2][1024];
-  uint16_t sfw[2][1024];
-  uint8_t raw[2][1024];
+  int n_lanes = 2;
+  const float* base[QW_MAX_LANES] = {nullptr};
+  int16_t q[QW_MAX_LANES][1024];
+  uint16_t sfw[QW_MAX_LANES][1024];
+  uint8_t raw[QW_MAX_LANES][1024];
   // occupancy bitmap: a q/sfw/raw entry is valid for this frame only if
-  // its bit is set — clearing 2x128 B per frame instead of the 10 KB
+  // its bit is set — clearing 128 B/lane per frame instead of the 10 KB
   // q/sfw arrays, and giving the tokenizer ctz-based zero-run scans
-  uint64_t act[2][16];
-  int lane_of(const float* coef) const { return coef == base[1] ? 1 : 0; }
+  uint64_t act[QW_MAX_LANES][16];
+  int lane_of(const float* coef) const {
+    for (int l = 1; l < n_lanes; l++)
+      if (coef == base[l]) return l;
+    return 0;
+  }
   void set(int lane, int64_t p) { act[lane][p >> 6] |= 1ull << (p & 63); }
   void mark_raw(int lane, int64_t p) {
     raw[lane][p] = 1;
     set(lane, p);
   }
-  void reset(const float* c0, const float* c1) {
+  void reset(const float* c0, const float* c1) {  // legacy 2-lane entry
+    n_lanes = 2;
     base[0] = c0;
     base[1] = c1;
-    memset(act, 0, sizeof(act));
-    memset(raw, 0, sizeof(raw));
+    memset(act, 0, 2 * sizeof(act[0]));
+    memset(raw, 0, 2 * sizeof(raw[0]));
+  }
+  void reset_frame(int n) {
+    n_lanes = n;
+    memset(act, 0, n * sizeof(act[0]));
+    memset(raw, 0, n * sizeof(raw[0]));
   }
 };
 static QwCapture g_qw;
@@ -433,7 +446,6 @@ static inline uint64_t wnd64(const uint8_t* buf, int64_t nbits,
 static uint8_t cb_walk[12][2048];
 
 struct SpecCap {
-  int armed = 0;     // arm for the next SCE parse_ics (qwire path only)
   int ok = 0;        // capture valid for the lane just parsed
   int max_sfb = 0;
   uint8_t band_cb[64];
@@ -442,7 +454,9 @@ struct SpecCap {
   const uint8_t* buf = nullptr;
   int64_t nbits = 0;
 };
-static SpecCap g_spec;
+// armed capture slot for the next SCE/LFE parse_ics (qwire path only);
+// one slot per lane so multi-element frames keep every capture
+static SpecCap* g_spec_active = nullptr;
 
 static int walk_spectrum(Bits* b, const Chan* ch, int64_t* bandpos) {
   const IcsInfo* ics = &ch->ics;
@@ -1252,8 +1266,9 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
   // all) when nothing rewrites the spectrum after the VLC loop and the
   // sf walk fits the 5-bit wire deltas; the device Huffman-decodes
   // (ops/spec_huff.py).  Falls through to the full decode otherwise.
-  g_spec.ok = 0;
-  if (g_spec.armed && ch->ics.num_window_groups == 1
+  SpecCap* sc = g_spec_active;
+  if (sc) sc->ok = 0;
+  if (sc && ch->ics.num_window_groups == 1
       && ch->ics.num_windows == 1 && !ch->tns.present && !pulse_count
       && ch->ics.max_sfb > 0 && ch->ics.max_sfb < 64) {
     int bad = 0, nsec = 1, prev_sf = -1;
@@ -1278,21 +1293,20 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
     }
     if (!bad && nsec <= 24) {
       int64_t bp0 = b->pos;
-      if (walk_spectrum(b, ch, g_spec.bandpos) == 0
-          && g_spec.bandpos[ch->ics.max_sfb] - g_spec.bandpos[0]
-                 < (1 << 13)) {
-        g_spec.ok = 1;
-        g_spec.max_sfb = ch->ics.max_sfb;
+      if (walk_spectrum(b, ch, sc->bandpos) == 0
+          && sc->bandpos[ch->ics.max_sfb] - sc->bandpos[0] < (1 << 13)) {
+        sc->ok = 1;
+        sc->max_sfb = ch->ics.max_sfb;
         for (int i = 0; i < ch->ics.max_sfb; i++) {
-          g_spec.band_cb[i] = (uint8_t)ch->band_type[i];
-          g_spec.sfw[i] = ch->sfwb[i];
+          sc->band_cb[i] = (uint8_t)ch->band_type[i];
+          sc->sfw[i] = ch->sfwb[i];
         }
-        g_spec.buf = b->buf;
-        g_spec.nbits = b->nbits;
+        sc->buf = b->buf;
+        sc->nbits = b->nbits;
         return 0;
       }
       b->pos = bp0;  // spec block too big: full decode + tokens instead
-      g_spec.ok = 0;
+      sc->ok = 0;
     }
   }
   // direct token emission only when decode order == output order and no
@@ -1478,9 +1492,11 @@ int ht_parse_cpe(const uint8_t* buf, int64_t nbits, int64_t* pos,
               c0[grp * 128 + k] = a + bb;
               c1[grp * 128 + k] = a - bb;
               if (g_qw.on) {
+                // lanes are global in multi-element layouts: resolve from
+                // the coefficient base, never hardcode 0/1
                 int64_t p = (c0 - coeffs0) + grp * 128 + k;
-                g_qw.mark_raw(0, p);
-                g_qw.mark_raw(1, p);
+                g_qw.mark_raw(g_qw.lane_of(coeffs0), p);
+                g_qw.mark_raw(g_qw.lane_of(coeffs1), p);
               }
             }
           }
@@ -1508,7 +1524,8 @@ int ht_parse_cpe(const uint8_t* buf, int64_t nbits, int64_t* pos,
               for (int k = offsets[i]; k < offsets[i + 1]; k++) {
                 c1[grp * 128 + k] = scale * c0[grp * 128 + k];
                 if (g_qw.on)
-                  g_qw.mark_raw(1, (c1 - coeffs1) + grp * 128 + k);
+                  g_qw.mark_raw(g_qw.lane_of(coeffs1),
+                                (c1 - coeffs1) + grp * 128 + k);
               }
           }
         } else {

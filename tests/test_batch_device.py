@@ -271,3 +271,30 @@ def test_sharded_qwire_decoder(ref_harness):
     assert len(ref) == len(got) == 1
     d = np.abs(ref[0].astype(int) - got[0].astype(int))
     assert d.max() <= 1, f"sharded-vs-unsharded max LSB {d.max()}"
+
+
+def test_decode_batch_bisect_isolates_offender(ref_harness, monkeypatch):
+    """One stream the batched path cannot handle must demote only itself;
+    the rest of its bucket stays on the batched path (VERDICT r2 #6)."""
+    import heaac_tpu.codec.batch as B
+
+    streams = [_make_stream(ref_harness, seed=30 + k, ps_seed=40 + k)
+               for k in range(4)]
+    bad_idx = 2
+    orig = B._decode_bucket
+    calls = []
+
+    def flaky(kind, group, idxs, streams_, results):
+        calls.append(tuple(idxs))
+        if bad_idx in idxs:
+            raise RuntimeError("synthetic planner failure")
+        return orig(kind, group, idxs, streams_, results)
+
+    monkeypatch.setattr(B, "_decode_bucket", flaky)
+    res = B.decode_batch(streams)
+    ref = [np.asarray(B.decode_batch([s])[0]) for s in streams]
+    # every stream decoded; the offender went single-stream, others batched
+    for i in range(4):
+        assert res[i] is not None and len(res[i]) > 0
+    batched = {i for c in calls for i in c if bad_idx not in c}
+    assert batched == {0, 1, 3}, f"healthy streams not batched: {calls}"
