@@ -558,13 +558,30 @@ class QwirePipelinedDecoder:
         # lane count comes from the parsed layout, not the header field
         # (configs 3-7 have more lanes than elements; config 0 none)
         self.nl = nl
+        counts = [_count_adts_frames(s) for s in self.streams]
         if max_frames is not None:
-            self.T = max_frames
-        else:
-            # T must cover the LONGEST stream (shorter ones pad with
-            # silence lanes) — truncating to the first stream's length
-            # silently drops audio (round-1 advisor finding)
-            self.T = max(_count_adts_frames(s) for s in self.streams)
+            counts = [min(c, max_frames) for c in counts]
+        # T must cover the LONGEST stream (shorter ones pad with silence
+        # lanes) — truncating to the first stream's length silently drops
+        # audio (round-1 advisor finding)
+        self.T = max_frames if max_frames is not None else max(counts)
+        # length bucketing (round-2 verdict #9): parse/decode groups in
+        # ascending frame-count order so a group's scan length is its own
+        # longest stream (rounded up to 32 to bound recompiles), and one
+        # long stream no longer taxes every other group's device time
+        n = len(self.streams)
+        self.order = sorted(range(n), key=lambda i: counts[i])
+        self.group_of = {}
+        self.slot_of = {}
+        self.group_T = []
+        G = self.G
+        for g0 in range(0, n, G):
+            idxs = self.order[g0:g0 + G]
+            for slot, i in enumerate(idxs):
+                self.group_of[i] = g0 // G
+                self.slot_of[i] = slot
+            tg = max(counts[i] for i in idxs)
+            self.group_T.append(min(self.T, -(-max(tg, 1) // 32) * 32))
         self.sample_rate, self.is34, self.ds = rate, is34, ds
         self.S = token_cap
         self.NB = 0              # raw-bits window (grows per parsed group)
@@ -604,14 +621,15 @@ class QwirePipelinedDecoder:
         log.info("qwire pipelined decode: heap grown to %d KB",
                  self._cap >> 10)
 
-    def _parse_group(self, group: list, bufset: int):
+    def _parse_group(self, group: list, bufset: int, T: int | None = None):
         import ctypes as C
 
         from .. import native
         from ..utils.metrics import log
         qwire = self.qwire
+        T = self.T if T is None else T
         heap, recs = self._buffers(bufset)
-        recs[:] = self._sil_recs
+        recs[:T] = self._sil_recs[:T]
         cur = len(self._sil_payload)
         n_counts0 = len(self.frame_counts)
         native_ok = native.available()
@@ -627,7 +645,7 @@ class QwirePipelinedDecoder:
             cur_c = C.c_int64(cur)
             cur_ref = C.byref(cur_c)
             si, sr = self.hdr.sampling_index, self.hdr.sample_rate
-            cc, stride, T = self.hdr.chan_config, recs.shape[1], self.T
+            cc, stride = self.hdr.chan_config, recs.shape[1]
         for gi, data in enumerate(group):
             lane0 = gi * self.nl
             if native_ok:
@@ -638,9 +656,9 @@ class QwirePipelinedDecoder:
                 if nf >= 0:
                     cur = int(cur_c.value)
                     self.frame_counts.append(nf)
-                    if nf < self.T:
-                        recs[nf:, lane0:lane0 + self.nl] = \
-                            self._sil_recs[nf:, lane0:lane0 + self.nl]
+                    if nf < T:
+                        recs[nf:T, lane0:lane0 + self.nl] = \
+                            self._sil_recs[nf:T, lane0:lane0 + self.nl]
                     continue
                 cur_c.value = cur  # rewind any partial native writes
                 if nf == -3:      # heap overflow: grow + retry the group
@@ -649,7 +667,7 @@ class QwirePipelinedDecoder:
             log.info("qwire pipelined decode: stream %d fell back to the "
                      "Python planner", gi)
             frames_q, rate2, nl2, is34_2, ds2 = parse_stream_qwire(
-                data, max_frames=self.T)
+                data, max_frames=T)
             if (rate2, nl2, is34_2, ds2) != (self.sample_rate, self.nl,
                                              self.is34, self.ds):
                 raise ValueError(
@@ -672,11 +690,11 @@ class QwirePipelinedDecoder:
                     recs[t, lane0 + ln] = r2
             if native_ok:
                 cur_c.value = cur
-        maxtok = int((recs[:, :, qwire.R_W1] & 0xFFFF).max())
+        maxtok = int((recs[:T, :, qwire.R_W1] & 0xFFFF).max())
         if maxtok > self.S:   # pathological stream: widen + recompile
             self.S = -(-maxtok // 64) * 64
-        mode = (recs[:, :, qwire.R_W2] >> 24) & 15
-        nb = (recs[:, :, qwire.R_W3] & 0x1FFF) * (mode == 1)
+        mode = (recs[:T, :, qwire.R_W2] >> 24) & 15
+        nb = (recs[:T, :, qwire.R_W3] & 0x1FFF) * (mode == 1)
         nbmax = -(-int(nb.max()) // 256) * 256 if nb.any() else 0
         if nbmax > self.NB:
             self.NB = nbmax
@@ -699,7 +717,7 @@ class QwirePipelinedDecoder:
 
         from .heaac_graph import init_qwire_carry, qwire_scan_decoder
 
-        def upload_and_dispatch(heap, cur, recs):
+        def upload_and_dispatch(heap, cur, recs, Tg):
             if self._upload_w is None:
                 self._upload_w = min((cur + 3) // 4 + 65536, self._cap // 4)
             while (cur + 3) // 4 > self._upload_w:  # grow (rare)
@@ -709,7 +727,7 @@ class QwirePipelinedDecoder:
             heap_w = heap[:self._upload_w * 4].view(np.float32)
             carry = init_qwire_carry(self.L)
             _, pcm = run(jax.device_put(heap_w),
-                         jax.device_put(recs.view(np.float32)), carry)
+                         jax.device_put(recs[:Tg].view(np.float32)), carry)
             return pcm
 
         outs = []
@@ -718,15 +736,18 @@ class QwirePipelinedDecoder:
         with ThreadPoolExecutor(max_workers=1) as pool:
             futs = []
             for gidx, g0 in enumerate(range(0, n, self.G)):
-                group = self.streams[g0:g0 + self.G]
+                idxs = self.order[g0:g0 + self.G]
+                group = [self.streams[i] for i in idxs]
                 if len(group) < self.G:
-                    group = group + self.streams[:self.G - len(group)]
+                    # pad with a stream from this group (keeps its T)
+                    group = group + [group[0]] * (self.G - len(group))
+                Tg = self.group_T[gidx]
                 if gidx >= 2:
                     # staging set gidx%2 was read by group gidx-2: wait
                     # for its upload+decode before overwriting the arrays
                     jax.block_until_ready(futs[gidx - 2].result())
                 for _ in range(6):
-                    r = self._parse_group(group, gidx % 2)
+                    r = self._parse_group(group, gidx % 2, Tg)
                     if r is not None:
                         break
                     # heap overflow: drain every in-flight upload, then
@@ -737,10 +758,15 @@ class QwirePipelinedDecoder:
                     raise MemoryError("qwire heap kept overflowing")
                 heap, cur, recs = r
                 futs.append(pool.submit(upload_and_dispatch, heap, cur,
-                                        recs))
+                                        recs, Tg))
             outs = [f.result() for f in futs]
         jax.block_until_ready(outs[-1])
-        self.frame_counts = self.frame_counts[:n]
+        # frame_counts were appended in sorted parse order; expose them in
+        # the caller's original stream order
+        by_orig = [0] * n
+        for k, i in enumerate(self.order):
+            by_orig[i] = self.frame_counts[k]
+        self.frame_counts = by_orig
         return outs
 
     def audio_seconds(self) -> float:
@@ -1274,11 +1300,12 @@ def _decode_bucket(kind, group, idxs, streams, results):
         # wire heap, threaded upload overlap, grouped device scans
         bd = QwirePipelinedDecoder(group)
         outs = [np.asarray(o) for o in bd.decode()]
-        lps, G = bd.nl, bd.G
+        lps = bd.nl
         for j, i in enumerate(idxs):
             T_j = bd.frame_counts[j]
-            pcm = outs[j // G]
-            lane0 = (j % G) * lps
+            # groups are length-bucketed: map through the sort permutation
+            pcm = outs[bd.group_of[j]]
+            lane0 = bd.slot_of[j] * lps
             lanes = pcm[:T_j, lane0:lane0 + lps]
             if lps == 1:                     # mono->stereo (PS or dup)
                 results[i] = lanes[:, 0].transpose(0, 2, 1).reshape(-1, 2)

@@ -107,13 +107,15 @@ class ShardedQwireDecoder:
         n = len(dec.streams)
         dec.frame_counts = []
         for gidx, g0 in enumerate(range(0, n, dec.G)):
-            group = dec.streams[g0:g0 + dec.G]
+            idxs = dec.order[g0:g0 + dec.G]
+            group = [dec.streams[i] for i in idxs]
             if len(group) < dec.G:
-                group = group + dec.streams[:dec.G - len(group)]
+                group = group + [group[0]] * (dec.G - len(group))
+            Tg = dec.group_T[gidx]
             if gidx >= 2:
                 jax.block_until_ready(outs[gidx - 2])
             for _ in range(6):
-                r = dec._parse_group(group, gidx % 2)
+                r = dec._parse_group(group, gidx % 2, Tg)
                 if r is not None:
                     break
                 # heap overflow: drain in-flight decodes, grow, retry
@@ -132,14 +134,17 @@ class ShardedQwireDecoder:
                                      dec.rate_idx, dec.NB)
             heap_w = jax.device_put(
                 heap[:dec._upload_w * 4].view(np.float32), self._sh_rep)
-            rec_w = jax.device_put(recs.view(np.float32), self._sh_rec)
+            rec_w = jax.device_put(recs[:Tg].view(np.float32), self._sh_rec)
             carry = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, self._sh_lane),
                 init_qwire_carry(dec.L))
             _, pcm = run(heap_w, rec_w, carry)
             outs.append(pcm)
         jax.block_until_ready(outs[-1])
-        dec.frame_counts = dec.frame_counts[:n]
+        by_orig = [0] * n
+        for k, i in enumerate(dec.order):
+            by_orig[i] = dec.frame_counts[k]
+        dec.frame_counts = by_orig
         return outs
 
     def audio_seconds(self) -> float:

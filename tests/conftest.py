@@ -58,6 +58,7 @@ def ref_harness():
         "imdct": str(HARNESS / "ref_imdct"),
         "decode": str(HARNESS / "ref_decode"),
         "encode": str(HARNESS / "ref_encode"),
+        "sbr_dump": str(HARNESS / "ref_sbr_dump"),
     }
 
 

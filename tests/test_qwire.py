@@ -258,3 +258,40 @@ def test_qwire_native_cpe(ref_harness):
     nat2 = np.asarray(QwirePipelinedDecoder([he2]).decode()[0])
     d2 = np.abs(old2.astype(int) - nat2.astype(int))
     assert d2.max() <= 1, f"native-cpe-coupled max LSB {d2.max()}"
+
+
+@pytest.mark.golden
+def test_qwire_length_bucketing(ref_harness):
+    """Mixed-length batches: groups are length-bucketed so a short group's
+    scan stops at its own longest stream (VERDICT r2 #9), and per-stream
+    outputs still land at the right indices through the sort permutation."""
+    from test_golden_sbr import make_core
+
+    from heaac_tpu.codec.batch import QwirePipelinedDecoder
+    from heaac_tpu.io.heaac_testgen import (PsStreamWriter, SbrStreamWriter,
+                                            splice_sbr_into_lc)
+
+    core_long = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 40)
+    core_short = b"".join(
+        __import__("heaac_tpu.bitstream.adts", fromlist=["x"])
+        .split_adts_stream(core_long)[:4])
+
+    def he(core, seed):
+        w = SbrStreamWriter(core_rate=24000, is_cpe=False, env_hi_shift=-12,
+                            seed=seed, invf_modes=(0,),
+                            ps_writer=PsStreamWriter(seed=seed + 1))
+        return splice_sbr_into_lc(core, w)
+
+    long_s, short_s = he(core_long, 41), he(core_short, 43)
+    streams = [long_s, short_s]     # long first: the sort must reorder
+    dec = QwirePipelinedDecoder(streams, group_streams=1)
+    assert dec.group_T[0] < dec.group_T[1], dec.group_T
+    outs = [np.asarray(o) for o in dec.decode()]
+    assert dec.frame_counts == [40, 4]
+    refs = [np.asarray(QwirePipelinedDecoder([s]).decode()[0])
+            for s in streams]
+    for i, s in enumerate(streams):
+        g, slot = dec.group_of[i], dec.slot_of[i]
+        T_i = dec.frame_counts[i]
+        got = outs[g][:T_i, slot:slot + 1]
+        np.testing.assert_array_equal(got, refs[i][:T_i])

@@ -12,4 +12,5 @@ HERE=$(dirname "$0")
 gcc $CFLAGS -o "$OUT/ref_imdct" "$HERE/ref_imdct.c" $LIBS
 gcc $CFLAGS -o "$OUT/ref_decode" "$HERE/ref_decode.c" $LIBS
 gcc $CFLAGS -o "$OUT/ref_encode" "$HERE/ref_encode.c" $LIBS
-echo "built: $OUT/ref_imdct $OUT/ref_decode $OUT/ref_encode"
+gcc $CFLAGS -o "$OUT/ref_sbr_dump" "$HERE/ref_sbr_dump.c" $LIBS
+echo "built: $OUT/ref_imdct $OUT/ref_decode $OUT/ref_encode $OUT/ref_sbr_dump"
