@@ -20,12 +20,14 @@ from .heaac_graph import (HeaacState, init_compact_state, init_state,
 
 
 
-def _host_couple_and_tns(dec) -> None:
+def _host_couple_and_tns(dec, raise_point3: bool = True) -> None:
     """Dependent channel coupling + TNS in reference order (host side),
     shared by the planning decoders (aacdec.c:1870-1898 stages 0/1).
 
-    AFTER_IMDCT (point 3) coupling mixes decoded time signals, which the
-    device-resident plans cannot express per-lane yet -> fall back."""
+    AFTER_IMDCT (point 3) coupling mixes decoded TIME signals: the LC
+    batched path expresses it as a post-scan device mix over the extra
+    CCE lanes (see LcPlanningDecoder); the HE planners still route such
+    streams to the single-stream decoder (raise_point3)."""
     from ..bitstream import aac_syntax as syn
     dec._apply_dependent_coupling_stage(0, before_tns=True)
     for lane in dec.lanes + dec.cce_lanes:
@@ -36,11 +38,49 @@ def _host_couple_and_tns(dec) -> None:
             syn.apply_tns(cd.coeffs, cd)
             cd.tns = syn.TnsData()
     dec._apply_dependent_coupling_stage(1, before_tns=False)
+    if not raise_point3:
+        return
     for (etype, _), el in dec.elements.items():
         if etype == T.TYPE_CCE and el.coup is not None \
                 and el.present_this_frame and el.coup.coupling_point == 3:
             raise NotImplementedError(
-                "AFTER_IMDCT coupling needs the single-stream decoder")
+                "AFTER_IMDCT coupling with SBR needs the single-stream "
+                "decoder (the LC batched path handles it)")
+
+
+def _point3_edges(dec, lane_index_of) -> list:
+    """This frame's AFTER_IMDCT coupling edges [(tgt_lane, src_lane,
+    gain)], mirroring decoder._apply_independent_coupling
+    (aacdec.c:1849-1862)."""
+    edges = []
+    for key, el in dec.elements.items():
+        if key[0] != T.TYPE_CCE or el.coup is None \
+                or not el.present_this_frame \
+                or el.coup.coupling_point != 3:
+            continue
+        src = lane_index_of.get((T.TYPE_CCE, key[1], 0))
+        if src is None:
+            continue
+        coup = el.coup
+        index = 0
+        for c in range(coup.num_coupled + 1):
+            tkey = (coup.type[c], coup.id_select[c])
+            ch_sel = coup.ch_select[c]
+            if dec.elements.get(tkey) is None:
+                index += 1 + (ch_sel == 3)
+                continue
+            if ch_sel != 1:
+                li = lane_index_of.get((tkey[0], tkey[1], 0))
+                if li is not None:
+                    edges.append((li, src, float(coup.gain[index][0])))
+                if ch_sel != 0:
+                    index += 1
+            if ch_sel != 2:
+                li = lane_index_of.get((tkey[0], tkey[1], 1))
+                if li is not None:
+                    edges.append((li, src, float(coup.gain[index][0])))
+                index += 1
+    return edges
 
 
 class PlanningDecoder(Decoder):
@@ -1079,21 +1119,30 @@ class PipelinedStreamBatchDecoder:
 # ---------------------------------------------------------------------------
 class LcPlanningDecoder(Decoder):
     """Parses an AAC-LC stream (mono or stereo) into per-frame core plans,
-    one lane per output channel."""
+    one lane per output channel.  AFTER_IMDCT (point 3) CCE elements get
+    their own extra lanes and per-frame mix edges (the device applies the
+    time-domain coupling as a post-scan gather-add)."""
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
         self.frames_core = []
+        self.frames_couple = []   # per frame: [(tgt_lane, src_lane, gain)]
 
     def _spectral_to_sample(self, present):
-        _host_couple_and_tns(self)
+        _host_couple_and_tns(self, raise_point3=False)
+        all_lanes = self.lanes + self.cce_lanes
+        lane_index_of = {(l.elem_type, l.elem_id, l.ch): i
+                         for i, l in enumerate(all_lanes)}
+        self.frames_couple.append(_point3_edges(self, lane_index_of))
         lanes = []
-        for lane in self.lanes:
+        for lane in all_lanes:
             el = self.elements[(lane.elem_type, lane.elem_id)]
             cd = el.cur[lane.ch]
             lanes.append(cd)
+        zeros = np.zeros(1024, np.float32)
         self.frames_core.append(dict(
-            coeffs=np.stack([cd.coeffs for cd in lanes]),
+            coeffs=np.stack([cd.coeffs if cd.coeffs is not None else zeros
+                             for cd in lanes]),
             ws=np.array([cd.ics.window_sequence for cd in lanes], np.int32),
             wsp=np.array([cd.ics.window_sequence_prev for cd in lanes],
                          np.int32),
@@ -1103,7 +1152,11 @@ class LcPlanningDecoder(Decoder):
         return np.zeros((0, 1), np.int16)
 
 
-def _make_lc_scan_decoder():
+def _make_lc_scan_decoder(couple: bool = False):
+    """couple=True keeps the scan output float and applies the
+    AFTER_IMDCT coupling mix (tgt += gain*src over lanes) before the
+    int16 rounding — a single gather/scatter-add outside the scan
+    (aacdec.c:1849-1862 on device)."""
     import jax
     import jax.numpy as jnp
 
@@ -1115,14 +1168,25 @@ def _make_lc_scan_decoder():
     def body(saved, c):
         out, saved = core_frame(c["coeffs"], saved, c["ws"], c["wsp"],
                                 c["kbd"], c["kbdp"], m2048, m256, bank)
+        if couple:
+            return saved, out
         return saved, jnp.clip(jnp.rint(out), -32768, 32767).astype(jnp.int16)
 
-    @jax.jit
-    def run(core_seq, saved):
-        saved, pcm = jax.lax.scan(body, saved, core_seq)
-        return saved, pcm  # [T, L, 1024]
+    if not couple:
+        @jax.jit
+        def run(core_seq, saved):
+            saved, pcm = jax.lax.scan(body, saved, core_seq)
+            return saved, pcm  # [T, L, 1024] int16
+        return run
 
-    return run
+    @jax.jit
+    def run_couple(core_seq, saved, etgt, esrc, gains):
+        saved, pcm = jax.lax.scan(body, saved, core_seq)
+        add = gains[:, :, None] * pcm[:, esrc]          # [T, K, 1024]
+        pcm = pcm.at[:, etgt].add(add)
+        return saved, jnp.clip(jnp.rint(pcm), -32768,
+                               32767).astype(jnp.int16)
+    return run_couple
 
 
 class LcStreamBatchDecoder:
@@ -1140,6 +1204,8 @@ class LcStreamBatchDecoder:
         B = batch or n
         self.sample_rate = parsed[0][1]
         self.channels = parsed[0][2]
+        # streams with AFTER_IMDCT CCE carry extra (non-output) lanes
+        self.lane_block = max(p[3] for p in parsed)
         T_ = max(len(p[0]["coeffs"]) for p in parsed)
         self.T, self.B = T_, B
         self.frame_counts = [len(parsed[i % n][0]["coeffs"])
@@ -1147,8 +1213,22 @@ class LcStreamBatchDecoder:
 
         dflt = dict(coeffs=np.zeros(1024, np.float32), ws=np.int32(0),
                     wsp=np.int32(0), kbd=np.int32(0), kbdp=np.int32(0))
-        ch = self.channels
-        padded = [_pad_plan_frames(p[0], dflt, T_, ch) for p in parsed]
+        lb = self.lane_block
+
+        def pad_lanes(d):
+            out = {}
+            for k, v in d.items():
+                v = np.asarray(v)
+                if v.shape[1] < lb:
+                    dv = np.asarray(dflt[k])
+                    pad = np.broadcast_to(
+                        dv, (v.shape[0], lb - v.shape[1]) + dv.shape)
+                    v = np.concatenate([v, pad], axis=1)
+                out[k] = v
+            return out
+
+        padded = [_pad_plan_frames(pad_lanes(p[0]), dflt, T_, lb)
+                  for p in parsed]
 
         def stack(key):
             return np.concatenate(
@@ -1156,11 +1236,31 @@ class LcStreamBatchDecoder:
 
         self.core = jax.device_put({k: stack(k)
                                     for k in parsed[0][0].keys()})
-        self.run_fn = _make_lc_scan_decoder()
+        # flatten per-stream coupling edges into global-lane arrays
+        etgt, esrc, gcols = [], [], []
+        for b in range(B):
+            couple = parsed[b % n][4]
+            if not couple:
+                continue
+            struct, gains = couple          # [(tgt,src)], [T_s, E]
+            for k, (tg, sr) in enumerate(struct):
+                etgt.append(b * lb + tg)
+                esrc.append(b * lb + sr)
+                col = np.zeros(T_, np.float32)
+                col[:len(gains)] = gains[:, k]
+                gcols.append(col)
+        self._couple = None
+        if etgt:
+            self._couple = (np.array(etgt, np.int32),
+                            np.array(esrc, np.int32),
+                            np.stack(gcols, axis=1))
+        self.run_fn = _make_lc_scan_decoder(couple=self._couple is not None)
 
     @staticmethod
     def _parse_one(st: bytes, max_frames: int | None = None):
-        """-> (core dict with [T, lanes, ...] leaves, rate, channels).
+        """-> (core dict with [T, lanes, ...] leaves, rate, channels,
+        total_lanes, couple) where couple is None or
+        ([(tgt, src)], gains [T, E]) for AFTER_IMDCT CCE streams.
 
         Fast path: the whole-stream native C++ parser (ht_parse_stream —
         ADTS framing + element loop + dequant + TNS in one call); Python
@@ -1184,20 +1284,41 @@ class LcStreamBatchDecoder:
                         wsp=meta[..., 1].astype(np.int32),
                         kbd=meta[..., 2].astype(np.int32),
                         kbdp=meta[..., 3].astype(np.int32))
-                    return core, hdr.sample_rate, lanes
+                    return core, hdr.sample_rate, lanes, lanes, None
         dec = LcPlanningDecoder(adts_probe=frames[0][:7])
         for f in frames:
             dec.decode_frame(f)
         core = {k: np.stack([np.asarray(fc[k]) for fc in dec.frames_core])
                 for k in dec.frames_core[0]}
-        return core, dec.sample_rate, dec.channels
+        total = core["coeffs"].shape[1]
+        couple = None
+        if any(dec.frames_couple):
+            # one edge structure for the whole stream (a structure change
+            # mid-stream falls back to the single-stream decoder)
+            struct = sorted({(tg, sr) for fr in dec.frames_couple
+                             for (tg, sr, _) in fr})
+            pos = {e: k for k, e in enumerate(struct)}
+            gains = np.zeros((len(dec.frames_couple), len(struct)),
+                             np.float32)
+            for t, fr in enumerate(dec.frames_couple):
+                for tg, sr, g in fr:
+                    gains[t, pos[(tg, sr)]] = g
+            couple = (struct, gains)
+        return core, dec.sample_rate, dec.channels, total, couple
 
     def decode(self):
-        """Returns pcm [T, B*channels, 1024] int16 (device array)."""
+        """Returns pcm [T, B*lane_block, 1024] int16 (device array);
+        audio channels are the first ``channels`` lanes of each stream's
+        lane block (extra lanes carry CCE outputs)."""
         import jax.numpy as jnp
 
-        saved = jnp.zeros((self.B * self.channels, 512), jnp.float32)
-        _, pcm = self.run_fn(self.core, saved)
+        saved = jnp.zeros((self.B * self.lane_block, 512), jnp.float32)
+        if self._couple is not None:
+            etgt, esrc, gains = self._couple
+            _, pcm = self.run_fn(self.core, saved, jnp.asarray(etgt),
+                                 jnp.asarray(esrc), jnp.asarray(gains))
+        else:
+            _, pcm = self.run_fn(self.core, saved)
         return pcm
 
     def audio_seconds(self) -> float:
@@ -1289,11 +1410,11 @@ def _decode_bucket(kind, group, idxs, streams, results):
     from .decoder import Decoder
     if kind == "lc":
         bd = LcStreamBatchDecoder(group)
-        pcm = np.asarray(bd.decode())       # [T, B*ch, 1024]
-        ch = bd.channels
+        pcm = np.asarray(bd.decode())       # [T, B*lane_block, 1024]
+        ch, lb = bd.channels, bd.lane_block
         for j, i in enumerate(idxs):
             T_j = bd.frame_counts[j]
-            lanes = pcm[:T_j, j * ch:(j + 1) * ch]   # [T_j, ch, 1024]
+            lanes = pcm[:T_j, j * lb:j * lb + ch]    # [T_j, ch, 1024]
             results[i] = lanes.transpose(0, 2, 1).reshape(-1, ch)
     elif kind == "he":
         # the end-to-end qwire pipeline: native parse straight into the

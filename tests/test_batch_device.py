@@ -166,10 +166,13 @@ def test_batch_downsampled_sbr(ref_harness, tmp_path):
 
 @pytest.mark.golden
 @pytest.mark.parametrize("point", ["before", "after"])
-def test_batch_cce_coupling(point, ref_harness, stream_factory, tmp_path):
-    """CCE through decode_batch: dependent coupling (point 0/1) applies on
-    the host before planning; AFTER_IMDCT (point 3) falls back to the
-    single-stream decoder.  Both must match the reference."""
+def test_batch_cce_coupling(point, ref_harness, stream_factory, tmp_path,
+                            caplog):
+    """CCE through decode_batch stays BATCHED for every coupling point:
+    dependent coupling (point 0/1) applies on the host before planning;
+    AFTER_IMDCT (point 3) runs as a device post-scan mix over the extra
+    CCE lanes (aacdec.c:1849-1862).  Both must match the reference."""
+    import logging
     import subprocess
 
     from heaac_tpu.codec.batch import decode_batch
@@ -183,7 +186,11 @@ def test_batch_cce_coupling(point, ref_harness, stream_factory, tmp_path):
     subprocess.run([ref_harness["decode"], str(p), str(g)], check=True,
                    capture_output=True)
     gold = np.fromfile(g, np.int16)
-    out = decode_batch([cce])[0]
+    with caplog.at_level(logging.WARNING, logger="heaac_tpu"):
+        out = decode_batch([cce])[0]
+    falls = [r for r in caplog.records
+             if "single-stream decoder" in r.getMessage()]
+    assert not falls, f"CCE {point} demoted to single-stream: {falls}"
     n = min(len(out), len(gold))
     assert n > 24000
     d = np.abs(out[:n, 0].astype(int) - gold[:n].astype(int)).max()
