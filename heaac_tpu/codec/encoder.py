@@ -371,7 +371,8 @@ class AacEncoder:
 
     def __init__(self, sample_rate: int, channels: int, qstep: int = 28,
                  object_type: int = 2, bitrate: int | None = None,
-                 window_switching: bool = True):
+                 window_switching: bool = True,
+                 tns_inject: dict | None = None):
         if channels not in (1, 2):
             raise ValueError("mono or stereo only")
         if object_type not in (1, 2):
@@ -387,6 +388,13 @@ class AacEncoder:
         self.object_type = object_type
         self.bitrate = bitrate
         self.window_switching = window_switching
+        # test-vector TNS (the reference encoder never writes TNS,
+        # aacenc.c:453, so golden TNS coverage needs an injector): emit a
+        # fixed one-filter tns_data on every long-window ICS.  Keys:
+        # coefs (list of coef-table indices), coef_res (0/1),
+        # direction (0/1).  The decoder's AR filter amplifies — callers
+        # keep input levels low so the oracle's int16 cannot wrap.
+        self.tns_inject = tns_inject
         self.swb_long = T.swb_offset_1024(self.sampling_index)
         self.nswb_long = T.num_swb_1024(self.sampling_index)
         self.swb_short = T.swb_offset_128(self.sampling_index)
@@ -573,6 +581,10 @@ class AacEncoder:
                 bits += int(sf_bits[int(sfs[i]) - prev + 60])
                 prev = int(sfs[i])
         bits += 3                                  # pulse/tns/gain flags
+        if self.tns_inject and not is8:
+            inj = self.tns_inject
+            bits += 2 + 1 + 6 + 5 + 1 + 1 \
+                + (inj.get("coef_res", 0) + 3) * len(inj["coefs"])
         for i in range(ngroups * nb):
             if cbs[i]:
                 bits += _band_bits(qs[i], int(cbs[i]))
@@ -724,7 +736,23 @@ class AacEncoder:
             bw.put(int(sf_bits[d]), int(sf_codes[d]))
             prev = int(sfs[i])
         bw.put1(0)  # pulse_data_present
-        bw.put1(0)  # tns_data_present
+        inj = self.tns_inject
+        if inj and not is8:
+            # one filter over all coded bands (syntax per decode_tns /
+            # aacdec.c:854; length counts sfbs, order <= 12 for LC)
+            bw.put1(1)                     # tns_data_present
+            bw.put(2, 1)                   # n_filt (long: 2 bits)
+            coef_res = inj.get("coef_res", 0)
+            bw.put1(coef_res)
+            bw.put(6, nb)                  # length in sfbs
+            order = len(inj["coefs"])
+            bw.put(5, order)
+            bw.put1(inj.get("direction", 0))
+            bw.put1(0)                     # coef_compress
+            for c in inj["coefs"]:
+                bw.put(coef_res + 3, int(c))
+        else:
+            bw.put1(0)  # tns_data_present
         bw.put1(0)  # gain_control_data_present
         for i in range(ngroups * nb):
             if cbs[i]:

@@ -1264,7 +1264,7 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
   if (getbit(b)) return -2;  // SSR
   // wire v4 spec capture: ship the raw spectral bits (no value decode at
   // all) when nothing rewrites the spectrum after the VLC loop and the
-  // sf walk fits the 5-bit wire deltas; the device Huffman-decodes
+  // sf walk fits the 6-bit wire deltas; the device Huffman-decodes
   // (ops/spec_huff.py).  Falls through to the full decode otherwise.
   SpecCap* sc = g_spec_active;
   if (sc) sc->ok = 0;

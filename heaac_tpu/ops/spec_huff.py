@@ -243,7 +243,8 @@ def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int):
     w6 = (g(sb_) << 16) | (g(sb_ + 1) << 8) | g(sb_ + 2)
     fld = (w6 >> (24 - (q6 & 7) - 6)) & 63
     d_f = (fld + SF_D_LO) * coded_f
-    # first coded band's delta field is 0 by construction -> plain cumsum
+    # the first coded band's DELTA is 0 by construction (field = 31,
+    # i.e. -SF_D_LO), so a plain cumsum from sfidx0 is exact
     sfidx_f = sfidx0[:, None] + jnp.cumsum(d_f, axis=1)
     sf_f = -pow2[sfidx_f.clip(0, 427) & 511]      # normal bands: negative
 
@@ -292,18 +293,20 @@ def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int):
     # ---- chain: binary lifting ---------------------------------------------
     sent = NBITS
     J = jnp.minimum(i + adv, sent)                # [B,NBITS]
-    Jp = jnp.concatenate([J, jnp.full((B, 1), sent, J.dtype)], axis=1)
-    tables = [Jp]
+    Tk = jnp.concatenate([J, jnp.full((B, 1), sent, J.dtype)], axis=1)
     nlev = max(1, NC_MAX.bit_length() - 1)        # 2^9 = NC_MAX
-    for _ in range(nlev - 1):
-        Jk = tables[-1]
-        tables.append(jnp.take_along_axis(Jk, Jk.clip(0, sent), axis=1))
-    j = jnp.arange(NC_MAX)[None, :]
-    offs = jnp.zeros((B, NC_MAX), jnp.int32)
-    for k in range(nlev - 1, -1, -1):
-        stepped = jnp.take_along_axis(tables[k], offs.clip(0, sent),
-                                      axis=1)
-        offs = jnp.where((j >> k) & 1 > 0, stepped, offs)
+    # progressive doubling: code j's bit offset is J^j(0); fill offs[j]
+    # for j in [2^k, 2^(k+1)) as J^(2^k)(offs[j - 2^k]) using the current
+    # power table Tk, then square Tk in place.  Only TWO [B, NBITS+1]
+    # tables are ever live (vs nlev=9 with keep-all-levels lifting) — the
+    # peak-memory fix for one dense lane inflating a whole group's NBITS
+    # (round-3 review finding).
+    offs = jnp.zeros((B, 1), jnp.int32)           # offs[0] = 0
+    for k in range(nlev):
+        step = jnp.take_along_axis(Tk, offs.clip(0, sent), axis=1)
+        offs = jnp.concatenate([offs, step], axis=1)
+        if k < nlev - 1:
+            Tk = jnp.take_along_axis(Tk, Tk.clip(0, sent), axis=1)
     code_ok = offs < nbits[:, None]
 
     # ---- per-code payload ---------------------------------------------------

@@ -30,7 +30,6 @@ def decode_shard_and_reduce(streams_local, n_local_frames_hint=None):
     every process's devices.  Returns the GLOBAL metrics dict (identical
     on every host)."""
     import jax
-    import jax.numpy as jnp
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -46,18 +45,17 @@ def decode_shard_and_reduce(streams_local, n_local_frames_hint=None):
         outs = dec.decode()
         jax.block_until_ready(outs[-1])
         frames = int(sum(dec.frame_counts))
+        errors = int(dec.error_count)
         audio_s = float(dec.audio_seconds())
 
     # --- global metric reduction (the only cross-host collective) -------
     devs = jax.devices()                       # global device list
     mesh = Mesh(np.array(devs), axis_names=("hosts",))
-    local = jnp.zeros((len(devs), 3), jnp.float32)
     # contribute this host's metrics on ONE of its local devices
     contrib = np.zeros((len(jax.local_devices()), 3), np.float32)
     contrib[0] = (frames, errors, audio_s)
     arr = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P("hosts")), contrib)
-    del local
 
     @jax.jit
     def reduce(x):
