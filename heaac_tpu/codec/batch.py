@@ -329,18 +329,37 @@ class QwirePlanningDecoder(Decoder):
     dequantization skipped — the device performs sbr_dequant/mapping/chirp."""
 
     def __init__(self, *a, **kw):
+        # parse with the pure-Python syntax layer: the native per-element
+        # parser never captures spectral bit positions (decoder.py
+        # _native_sce), so spec-mode (raw-bits) lanes — and the gating
+        # tested by tests/test_spec_gating.py — require decode_ics
+        kw.setdefault("use_native", False)
         super().__init__(*a, **kw)
-        from ..bitstream import aac_syntax as syn
-        syn.CAPTURE_SPEC = True
         self.frames_q = []   # per frame: list of per-lane (payload, rec)
         self.ps_is34 = None
         self.downsampled = 0
         self._hdr_sent = set()
         self._cur_packet = b""
+        # mid-stream 20<->34 band-mode flips: rejected by default (the
+        # static per-mode scan graphs would mis-decode); the flip-capable
+        # path (decode_qwire_flip_stream) opts in and reads the per-frame
+        # mode trail from is34_frames
+        self.allow_ps_flips = False
+        self.cur_is34 = None     # THIS frame's effective PS band mode
+        self.is34_frames: list = []
 
     def decode_frame(self, packet: bytes):
+        # scope the bandpos-capture flag to THIS parse: a module-global
+        # left set would make every later Decoder in the process pay the
+        # per-band capture in the hot VLC loop (round-3 review finding)
+        from ..bitstream import aac_syntax as syn
         self._cur_packet = bytes(packet)
-        return super().decode_frame(packet)
+        prev = syn.CAPTURE_SPEC
+        syn.CAPTURE_SPEC = True
+        try:
+            return super().decode_frame(packet)
+        finally:
+            syn.CAPTURE_SPEC = prev
 
     def _try_spec_block(self, cd):
         """Raw-bits spec block for a clean long-window lane, or None.
@@ -351,10 +370,13 @@ class QwirePlanningDecoder(Decoder):
         from . import qwire
         from ..ops import spec_huff as SH
         ics = cd.ics
+        # bandpos is only captured for clean lanes (decode_ics: no
+        # pulses/TNS, not EIGHT_SHORT) — the checks here are belt and
+        # braces since TNS is applied+cleared before this point
         bp = getattr(cd, "spec_bandpos", None)
         if (self.m4ac.object_type != 2 or ics.num_window_groups != 1
-                or not bp or getattr(cd, "pulse_present", False)
-                or cd.tns.present):
+                or ics.window_sequence == T.EIGHT_SHORT or not bp
+                or getattr(cd, "pulse_present", False)):
             return None
         if any(et == T.TYPE_CCE for (et, _) in self.elements):
             return None
@@ -425,16 +447,22 @@ class QwirePlanningDecoder(Decoder):
                     cur34 = int(sbr.ps.is34bands)
                     if self.ps_is34 is None:
                         self.ps_is34 = cur34
-                    elif self.ps_is34 != cur34:
+                    elif cur34 != (self.cur_is34
+                                   if self.cur_is34 is not None
+                                   else self.ps_is34) \
+                            and not self.allow_ps_flips:
                         raise NotImplementedError(
                             "PS band mode changes mid-stream")
+                    self.cur_is34 = cur34
                 hkey = (key, lane.ch)
                 if sbr.start and (sbr.reset or hkey not in self._hdr_sent):
                     header = qwire.build_header(sbr)
                     self._hdr_sent.add(hkey)
             side = qwire.build_side(sbr, lane.ch, lane.elem_type,
                                     core_meta=meta,
-                                    is34=self.ps_is34 or 0)
+                                    is34=(self.cur_is34
+                                          if self.cur_is34 is not None
+                                          else self.ps_is34) or 0)
             if spec is not None:
                 lanes_out.append(qwire.assemble_spec_lane(
                     spec[0], spec[1], side, header))
@@ -442,16 +470,24 @@ class QwirePlanningDecoder(Decoder):
                 lanes_out.append(qwire.assemble_lane(toks, ext, side,
                                                      header))
         self.frames_q.append(lanes_out)
+        self.is34_frames.append((self.cur_is34
+                                 if self.cur_is34 is not None
+                                 else self.ps_is34) or 0)
         self.sample_rate = m.sample_rate << (
             (m.ext_sample_rate > m.sample_rate) if m.sbr == 1 else 0)
         return np.zeros((0, 1), np.int16)
 
 
 def parse_stream_qwire(data: bytes, asc: bytes | None = None,
-                       max_frames: int | None = None):
+                       max_frames: int | None = None,
+                       err_out: list | None = None,
+                       is34_out: list | None = None):
     """One ADTS stream -> (frames list of per-lane (payload, rec), rate,
     n_lanes, is34, downsampled) in the qwire format, with per-frame error
-    isolation (corrupt frame -> silence lanes, count stays aligned)."""
+    isolation (corrupt frame -> silence lanes, count stays aligned).
+    ``err_out``, if given, receives the stream's corrupt-frame count.
+    ``is34_out``, if given, enables mid-stream PS band-mode flips (for
+    the flip-capable scan graph) and receives the per-frame mode trail."""
     from ..bitstream.reader import BitstreamError
     from . import qwire
 
@@ -463,6 +499,8 @@ def parse_stream_qwire(data: bytes, asc: bytes | None = None,
         frames = [f[9 - (f[1] & 1) * 2:] for f in frames]
     else:
         dec = QwirePlanningDecoder(adts_probe=frames[0][:7])
+    if is34_out is not None:
+        dec.allow_ps_flips = True
     for f in frames:
         n_before = len(dec.frames_q)
         try:
@@ -480,8 +518,14 @@ def parse_stream_qwire(data: bytes, asc: bytes | None = None,
                     nl_ = 1
                 sil = qwire.silence_lane()
                 dec.frames_q.append([sil for _ in range(nl_)])
+                dec.is34_frames.append(dec.is34_frames[-1]
+                                       if dec.is34_frames else 0)
     if not dec.frames_q:
         raise BitstreamError("no decodable frames in stream")
+    if err_out is not None:
+        err_out.append(dec.error_count)
+    if is34_out is not None:
+        is34_out.extend(dec.is34_frames)
     return (dec.frames_q, dec.sample_rate, len(dec.frames_q[0]),
             dec.ps_is34 or 0, dec.downsampled)
 
@@ -529,7 +573,11 @@ class QStreamBatchDecoder:
         self.S = -(-self.S // 64) * 64
         mode = (recs[:, :, qwire.R_W2] >> 24) & 15
         nb = (recs[:, :, qwire.R_W3] & 0x1FFF) * (mode == 1)
-        self.NB = -(-int(nb.max()) // 256) * 256 if nb.any() else 0
+        # gate on mode-1 PRESENCE: a zero-spectrum spec lane (nbits==0,
+        # nsec>0) must still route through the spec decoder, or its
+        # section-map bytes get token-decoded as garbage
+        self.NB = (max(256, -(-int(nb.max()) // 256) * 256)
+                   if (mode == 1).any() else 0)
         self.rate_idx = parse_adts_header(
             BitReader(bytes(streams[0][:7]))).sampling_index
         self.heap_w = np.frombuffer(bytes(heap), np.float32)
@@ -553,6 +601,53 @@ class QStreamBatchDecoder:
         # real (non-padding) frames only — padded silence lanes don't count
         return self._frames_total * self.nl \
             * (1024 << (not self.ds)) / self.sample_rate
+
+
+def decode_qwire_flip_stream(data: bytes,
+                             max_frames: int | None = None) -> np.ndarray:
+    """Decode one HE-AACv2 stream whose PS band mode (20<->34) flips
+    mid-stream, on device, via the flip-capable scan graph.
+
+    The per-frame mode rides side bit 6; the graph runs the PS stage in
+    both band modes, selects per lane, and converts the carried PS state
+    at each flip boundary (aacps.c:829-860) — so ONE compiled graph
+    covers any flip schedule and these streams no longer demote to the
+    ~100x-slower numpy single-stream path.  Returns int16 [n, 2]."""
+    import jax
+
+    from . import qwire
+    from .heaac_graph import init_qwire_flip_carry, qwire_scan_decoder_flip
+
+    is34_l: list = []
+    frames_q, _rate, nl, _, ds = parse_stream_qwire(
+        data, max_frames=max_frames, is34_out=is34_l)
+    T = len(frames_q)
+    heap = bytearray()
+    recs = np.zeros((T, nl, qwire.REC_W), np.int32)
+    for t in range(T):
+        for ln, (payload, rec) in enumerate(frames_q[t]):
+            r = rec.copy()
+            r[qwire.R_TOKOFF] = len(heap)
+            heap += payload
+            recs[t, ln] = r
+    if len(heap) % 4:
+        heap += b"\0" * (4 - len(heap) % 4)
+    S = max(64, int((recs[:, :, qwire.R_W1] & 0xFFFF).max()))
+    S = -(-S // 64) * 64
+    mode = (recs[:, :, qwire.R_W2] >> 24) & 15
+    nb = (recs[:, :, qwire.R_W3] & 0x1FFF) * (mode == 1)
+    NB = (max(256, -(-int(nb.max()) // 256) * 256)
+          if (mode == 1).any() else 0)
+    rate_idx = parse_adts_header(BitReader(bytes(data[:7]))).sampling_index
+    run = qwire_scan_decoder_flip(ds, S, rate_idx, NB)
+    carry = init_qwire_flip_carry(nl)
+    _, pcm = run(jax.device_put(np.frombuffer(bytes(heap), np.float32)),
+                 jax.device_put(recs.view(np.float32)), carry)
+    pcm = np.asarray(pcm)            # [T, nl, 2, 2048|1024]
+    if nl == 1:
+        return pcm[:, 0].transpose(0, 2, 1).reshape(-1, 2)
+    chans = [pcm[:, k, 0].reshape(-1) for k in range(nl)]
+    return np.stack(chans, axis=-1)
 
 
 def _count_adts_frames(data: bytes) -> int:
@@ -628,6 +723,7 @@ class QwirePipelinedDecoder:
         self.rate_idx = hdr.sampling_index
         self.L = self.G * self.nl
         self.frame_counts: list = []
+        self.error_count = 0     # corrupt frames (silenced lanes), total
         # silence template: recs rows default to a shared silence payload
         # at heap offset 0, so lanes/frames the parser does not write are
         # valid without any tail reset
@@ -661,7 +757,8 @@ class QwirePipelinedDecoder:
         log.info("qwire pipelined decode: heap grown to %d KB",
                  self._cap >> 10)
 
-    def _parse_group(self, group: list, bufset: int, T: int | None = None):
+    def _parse_group(self, group: list, bufset: int, T: int | None = None,
+                     n_real: int | None = None):
         import ctypes as C
 
         from .. import native
@@ -672,6 +769,7 @@ class QwirePipelinedDecoder:
         recs[:T] = self._sil_recs[:T]
         cur = len(self._sil_payload)
         n_counts0 = len(self.frame_counts)
+        err0 = self.error_count
         native_ok = native.available()
         if native_ok:
             # hoist ctypes marshaling out of the per-stream loop (the
@@ -695,6 +793,8 @@ class QwirePipelinedDecoder:
                     nf = -1  # layout mismatch: python fallback below
                 if nf >= 0:
                     cur = int(cur_c.value)
+                    if n_real is None or gi < n_real:
+                        self.error_count += int(info[3])
                     self.frame_counts.append(nf)
                     if nf < T:
                         recs[nf:T, lane0:lane0 + self.nl] = \
@@ -703,11 +803,15 @@ class QwirePipelinedDecoder:
                 cur_c.value = cur  # rewind any partial native writes
                 if nf == -3:      # heap overflow: grow + retry the group
                     del self.frame_counts[n_counts0:]
+                    self.error_count = err0
                     return None
             log.info("qwire pipelined decode: stream %d fell back to the "
                      "Python planner", gi)
+            errs: list = []
             frames_q, rate2, nl2, is34_2, ds2 = parse_stream_qwire(
-                data, max_frames=T)
+                data, max_frames=T, err_out=errs)
+            if n_real is None or gi < n_real:
+                self.error_count += errs[0]
             if (rate2, nl2, is34_2, ds2) != (self.sample_rate, self.nl,
                                              self.is34, self.ds):
                 raise ValueError(
@@ -721,6 +825,7 @@ class QwirePipelinedDecoder:
                 for ln, (payload, rec) in enumerate(frames_q[t]):
                     if cur + len(payload) > heap.nbytes:
                         del self.frame_counts[n_counts0:]
+                        self.error_count = err0
                         return None      # grow + retry
                     r2 = rec.copy()
                     r2[qwire.R_TOKOFF] = cur
@@ -735,7 +840,9 @@ class QwirePipelinedDecoder:
             self.S = -(-maxtok // 64) * 64
         mode = (recs[:T, :, qwire.R_W2] >> 24) & 15
         nb = (recs[:T, :, qwire.R_W3] & 0x1FFF) * (mode == 1)
-        nbmax = -(-int(nb.max()) // 256) * 256 if nb.any() else 0
+        # gate on mode-1 presence (zero-spectrum spec lanes have nbits 0)
+        nbmax = (max(256, -(-int(nb.max()) // 256) * 256)
+                 if (mode == 1).any() else 0)
         if nbmax > self.NB:
             self.NB = nbmax
         return heap, cur, recs
@@ -773,11 +880,13 @@ class QwirePipelinedDecoder:
         outs = []
         n = len(self.streams)
         self.frame_counts = []
+        self.error_count = 0
         with ThreadPoolExecutor(max_workers=1) as pool:
             futs = []
             for gidx, g0 in enumerate(range(0, n, self.G)):
                 idxs = self.order[g0:g0 + self.G]
                 group = [self.streams[i] for i in idxs]
+                n_real = len(group)
                 if len(group) < self.G:
                     # pad with a stream from this group (keeps its T)
                     group = group + [group[0]] * (self.G - len(group))
@@ -787,7 +896,7 @@ class QwirePipelinedDecoder:
                     # for its upload+decode before overwriting the arrays
                     jax.block_until_ready(futs[gidx - 2].result())
                 for _ in range(6):
-                    r = self._parse_group(group, gidx % 2, Tg)
+                    r = self._parse_group(group, gidx % 2, Tg, n_real)
                     if r is not None:
                         break
                     # heap overflow: drain every in-flight upload, then
@@ -1390,6 +1499,21 @@ def _decode_bucket_retry(key, idxs, streams, results, depth: int = 0):
         return
     except Exception as exc:
         if len(idxs) == 1:
+            if isinstance(exc, NotImplementedError) \
+                    and "PS band mode" in str(exc):
+                # mid-stream 20<->34 flip: decode on device through the
+                # flip-capable scan instead of the numpy single-stream path
+                try:
+                    results[idxs[0]] = decode_qwire_flip_stream(
+                        streams[idxs[0]])
+                    log.info("decode_batch: stream %d decoded via the "
+                             "PS band-mode-flip scan", idxs[0])
+                    return
+                except Exception as exc2:
+                    log.warning(
+                        "decode_batch: flip-scan decode of stream %d "
+                        "failed (%s: %s); using the single-stream decoder",
+                        idxs[0], type(exc2).__name__, exc2)
             log.warning(
                 "decode_batch: stream %d fell back to the single-stream "
                 "decoder: %s: %s", idxs[0], type(exc).__name__, exc)

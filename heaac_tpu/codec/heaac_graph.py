@@ -50,6 +50,19 @@ def init_state(B: int) -> HeaacState:
     )
 
 
+def _ps_stage(X, state: HeaacState, ps_plan, is34: int):
+    """The parametric-stereo block for one static band mode:
+    X [B,2,38,64] -> (Lp, Rp, new in_buf, new decorrelation state)."""
+    lbuf, ps_in_buf = ps_jax.hybrid_analysis(X, state.ps_in_buf, is34)
+    ps_state = dict(delay=state.ps_delay, ap=state.ps_ap,
+                    trans=state.ps_trans)
+    lmix, rmix, ps_state_new = ps_jax.decorrelate_and_mix(
+        lbuf, ps_state, ps_plan, is34)
+    Lp = ps_jax.hybrid_synthesis(lmix, is34)
+    Rp = ps_jax.hybrid_synthesis(rmix, is34)
+    return Lp, Rp, ps_in_buf, ps_state_new
+
+
 def heaac_frame(core, plan, ps_plan, state: HeaacState, is34: int = 0,
                 downsampled: int = 0):
     """One frame for B mono HE-AACv2 lanes -> (pcm [B,2,2048], state);
@@ -57,7 +70,9 @@ def heaac_frame(core, plan, ps_plan, state: HeaacState, is34: int = 0,
 
     is34 selects the PS hybrid band mode and downsampled the 32-band
     synthesis (aacsbr.c:1719); both are static: one jit specialization
-    per mode combination."""
+    per mode combination.  is34 == 2 means dual-mode: the PS stage runs
+    both band modes and selects per lane by ps_plan["m34"] (the
+    band-mode-flip decode path)."""
     m2048, m256, bank = core_consts()
     # named scopes surface as spans in jax.profiler/xprof timelines
     # (utils/trace.py; the reference's START_TIMER analogue)
@@ -84,13 +99,21 @@ def heaac_frame(core, plan, ps_plan, state: HeaacState, is34: int = 0,
         X, y_cur = sbr_jax.x_gen(X_low, Y_m, state.Y_prev, env_on, plan)
 
     with jax.named_scope("parametric_stereo"):
-        lbuf, ps_in_buf = ps_jax.hybrid_analysis(X, state.ps_in_buf, is34)
-        ps_state = dict(delay=state.ps_delay, ap=state.ps_ap,
-                        trans=state.ps_trans)
-        lmix, rmix, ps_state_new = ps_jax.decorrelate_and_mix(
-            lbuf, ps_state, ps_plan, is34)
-        Lp = ps_jax.hybrid_synthesis(lmix, is34)
-        Rp = ps_jax.hybrid_synthesis(rmix, is34)
+        if is34 == 2:
+            # dual-mode (flip-capable) graph: run the PS stage in both
+            # band modes and select per lane by ps_plan["m34"] — the
+            # structural band layouts are compile-time, so a per-frame
+            # mode needs both variants live (the flip bucket only)
+            m34 = ps_plan["m34"]
+            r0 = _ps_stage(X, state, ps_plan, 0)
+            r1 = _ps_stage(X, state, ps_plan, 1)
+            sel = lambda a1, a0: jnp.where(
+                (m34 > 0).reshape((-1,) + (1,) * (a1.ndim - 1)), a1, a0)
+            Lp, Rp, ps_in_buf, ps_state_new = jax.tree_util.tree_map(
+                sel, r1, r0)
+        else:
+            Lp, Rp, ps_in_buf, ps_state_new = _ps_stage(
+                X, state, ps_plan, is34)
     on = ps_plan["ps_on"][:, None, None, None]
     Lx = jnp.where(on > 0, Lp, X)
     Rx = jnp.where(on > 0, Rp, X)
@@ -178,6 +201,34 @@ def heaac_frame_qwire(coeffs, rec, heap, carry, is34: int = 0,
     return pcm, (state2, ph2, qc2)
 
 
+def _qwire_decode_all_coeffs(heap_w, rec_w, S: int, rate_idx: int, NB: int):
+    """Shared scan prologue: byte-heap view + parallel token decode of
+    every frame-lane's spectrum -> (heap, rec_seq [T,L,REC_W],
+    coeffs [T,L,1024])."""
+    from . import qwire
+    heap = jax.lax.bitcast_convert_type(heap_w, jnp.uint8)\
+        .reshape(-1).astype(jnp.int32)
+    rec_seq = jax.lax.bitcast_convert_type(rec_w, jnp.int32)
+    T, L = rec_seq.shape[:2]
+    # lane-major flattening: under a dp-sharded lane axis the merge
+    # stays shard-local (a T-major merge would interleave shards and
+    # force an all-to-all)
+    flat = rec_seq.transpose(1, 0, 2).reshape(L * T, qwire.REC_W)
+    with jax.named_scope("token_decode"):
+        coeffs = qwire.decode_coeffs_jax(
+            heap, flat[:, qwire.R_TOKOFF],
+            flat[:, qwire.R_W1] & 0xFFFF, S)
+        if NB > 0:
+            from ..ops import spec_huff
+            mode1 = ((flat[:, qwire.R_W2] >> 24) & 15) == 1
+            spec = spec_huff.decode_spec_jax(
+                heap, flat[:, qwire.R_TOKOFF],
+                flat[:, qwire.R_W3] * mode1, rate_idx, NB)
+            coeffs = jnp.where(mode1[:, None], spec, coeffs)
+        coeffs = coeffs.reshape(L, T, 1024).transpose(1, 0, 2)
+    return heap, rec_seq, coeffs
+
+
 @functools.cache
 def qwire_scan_decoder(is34: int, downsampled: int, S: int,
                        rate_idx: int = -1, NB: int = 0):
@@ -189,29 +240,10 @@ def qwire_scan_decoder(is34: int, downsampled: int, S: int,
     spectral-Huffman decode (ops/spec_huff.py) over NB-bit windows with
     the swb tables of ``rate_idx``; token and spec results merge per
     lane."""
-    from . import qwire
 
     def run(heap_w, rec_w, carry):
-        heap = jax.lax.bitcast_convert_type(heap_w, jnp.uint8)\
-            .reshape(-1).astype(jnp.int32)
-        rec_seq = jax.lax.bitcast_convert_type(rec_w, jnp.int32)
-        T, L = rec_seq.shape[:2]
-        # lane-major flattening: under a dp-sharded lane axis the merge
-        # stays shard-local (a T-major merge would interleave shards and
-        # force an all-to-all)
-        flat = rec_seq.transpose(1, 0, 2).reshape(L * T, qwire.REC_W)
-        with jax.named_scope("token_decode"):
-            coeffs = qwire.decode_coeffs_jax(
-                heap, flat[:, qwire.R_TOKOFF],
-                flat[:, qwire.R_W1] & 0xFFFF, S)
-            if NB > 0:
-                from ..ops import spec_huff
-                mode1 = ((flat[:, qwire.R_W2] >> 24) & 15) == 1
-                spec = spec_huff.decode_spec_jax(
-                    heap, flat[:, qwire.R_TOKOFF],
-                    flat[:, qwire.R_W3] * mode1, rate_idx, NB)
-                coeffs = jnp.where(mode1[:, None], spec, coeffs)
-            coeffs = coeffs.reshape(L, T, 1024).transpose(1, 0, 2)
+        heap, rec_seq, coeffs = _qwire_decode_all_coeffs(
+            heap_w, rec_w, S, rate_idx, NB)
 
         def body(c, xs):
             rec_t, coef_t = xs
@@ -224,3 +256,82 @@ def qwire_scan_decoder(is34: int, downsampled: int, S: int,
         return carry, pcm
 
     return jax.jit(run, donate_argnums=(2,))
+
+
+def _convert_ps_flip(state: HeaacState, ph: dict, to34, to20):
+    """Per-lane PS band-mode transition fixup, the reference's
+    aacps.c:829-860 (H row-0 map_val + ipd/opd history reset) plus the
+    decorrelation-state zeroing its is34bands != is34bands_old check
+    performs (aacps.c:660-671).  to34/to20 are [B] bool masks; the
+    hybrid-analysis in_buf persists across flips exactly like the
+    reference's ps->in_buf."""
+    row0 = ph["H"][:, :, 0]                                 # [B,2,34,4]
+    bc = lambda m, a: m.reshape((-1,) + (1,) * (a.ndim - 1))
+    row0 = jnp.where(bc(to34, row0), ps_jax.map_val_20_to_34(row0),
+                     jnp.where(bc(to20, row0),
+                               ps_jax.map_val_34_to_20(row0), row0))
+    flip = to34 | to20
+    ph2 = dict(
+        H=ph["H"].at[:, :, 0].set(row0),
+        ipd_hist=jnp.where(flip[:, None], 0, ph["ipd_hist"]),
+        opd_hist=jnp.where(flip[:, None], 0, ph["opd_hist"]))
+    zf = lambda a: jnp.where(bc(flip, a), 0.0, a)
+    state2 = state._replace(ps_delay=zf(state.ps_delay),
+                            ps_ap=zf(state.ps_ap),
+                            ps_trans=zf(state.ps_trans))
+    return state2, ph2
+
+
+@functools.cache
+def qwire_scan_decoder_flip(downsampled: int, S: int, rate_idx: int = -1,
+                            NB: int = 0):
+    """Flip-capable variant of qwire_scan_decoder: the PS band mode is
+    per lane per FRAME (side bit 6, qwire.build_side), so one compiled
+    graph decodes streams whose 20<->34 mode flips mid-stream — the PS
+    stage runs both band modes and selects per lane (heaac_frame
+    is34==2), and the carried PS state is converted at each lane's flip
+    boundary exactly as the reference does on its is34bands !=
+    is34bands_old frames (aacps.c:829-860).  carry gains a trailing
+    m34_prev [B] element."""
+    from . import compact_plan as CP
+    from . import qwire
+
+    def run(heap_w, rec_w, carry):
+        heap, rec_seq, coeffs = _qwire_decode_all_coeffs(
+            heap_w, rec_w, S, rate_idx, NB)
+
+        def body(c, xs):
+            state, ph, qc, m34_prev = c
+            rec_t, coef_t = xs
+            with jax.named_scope("expand_qwire"):
+                core_meta, plan, pc, qc2 = qwire.expand_frame_jax(
+                    heap, rec_t, qc, -1)
+                m34 = pc.pop("m34")
+                active = pc["pc_i"][:, CP.PI_ON] > 0
+                to34 = active & (m34 > 0) & (m34_prev == 0)
+                to20 = active & (m34 == 0) & (m34_prev > 0)
+                state2, ph2 = _convert_ps_flip(state, ph, to34, to20)
+                ps0, ph0 = CP.expand_ps(pc, ph2, 0)
+                ps1, ph1 = CP.expand_ps(pc, ph2, 1)
+                sel = lambda a1, a0: jnp.where(
+                    (m34 > 0).reshape((-1,) + (1,) * (a1.ndim - 1)), a1, a0)
+                ps_plan = jax.tree_util.tree_map(sel, ps1, ps0)
+                ph3 = jax.tree_util.tree_map(sel, ph1, ph0)
+                ps_plan["m34"] = m34
+            core = dict(coeffs=coef_t, **core_meta)
+            pcm, state3 = heaac_frame(core, plan, ps_plan, state2, 2,
+                                      downsampled)
+            pcm16 = jnp.clip(jnp.rint(pcm), -32768, 32767).astype(jnp.int16)
+            m34_next = jnp.where(active, m34, m34_prev)
+            return (state3, ph3, qc2, m34_next), pcm16
+
+        carry, pcm = jax.lax.scan(body, carry, (rec_seq, coeffs))
+        return carry, pcm
+
+    return jax.jit(run, donate_argnums=(2,))
+
+
+def init_qwire_flip_carry(B: int):
+    """init_qwire_carry + the m34_prev [B] band-mode memory (starts 0,
+    like the reference's zero-initialised ps->is34bands_old)."""
+    return init_qwire_carry(B) + (jnp.zeros((B,), jnp.int32),)

@@ -74,7 +74,9 @@ REC_W = 4               # i32 record words per frame-lane
 R_TOKOFF = 0            # w0: heap byte offset of the lane payload
 R_W1 = 1                # w1: ntok (u16) | n_ext (u16)<<16
 R_W2 = 2                # w2: side_len (u16) | hdr_len (u8)<<16 | mode<<24
-R_W3 = 3                # w3: reserved (specbits mode: nbits | sfw0<<16)
+R_W3 = 3                # w3: reserved (specbits mode, see
+                        # spec_huff.pack_spec_block:
+                        # nbits(13) | nsec<<13 | sfidx0<<18)
 
 # ---- side block v2 (packed head) -------------------------------------------
 # b0: ws(2) | kbd<<2 | err<<3 | hsl_on<<4 | ampres<<5 | bw_present<<6
@@ -299,6 +301,11 @@ def build_side(sbr, ch: int, id_aac: int, err: int = 0,
     if ps is not None and ps.start and ch == 0 and id_aac != TYPE_CPE:
         from ..ops import ps_np
         b[1] |= 1 << 5
+        # bit 6: THIS frame's PS band mode.  The static per-mode scan
+        # graphs ignore it; the flip-capable graph (decode_batch's
+        # band-mode-flip route) reads it per lane per frame.
+        if is34:
+            b[1] |= 1 << 6
         pb = bytearray(PS_HEAD)
         pb[PS_B0] = (int(ps.num_env) | (int(ps.enable_ipdopd) << 3)
                      | (int(ps.iid_quant) << 4)
@@ -934,7 +941,14 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
     penv = (pb0 & 7) * ps_on
     ipdopd_on = ((pb0 >> 3) & 1) * ps_on
     pquant = ((pb0 >> 4) & 1) * ps_on
-    npar = P.NR_PAR_BANDS[is34]
+    if is34 == -1:
+        # flip-capable graph: the band mode is per lane per frame, read
+        # from side bit 6 (build_side); the wire layout (npar) follows it
+        m34 = ((flags >> 6) & 1) * ps_on
+        npar = jnp.where(m34 > 0, 34, 20)                # [B]
+    else:
+        m34 = None
+        npar = jnp.full((B,), P.NR_PAR_BANDS[is34], jnp.int32)
     pc_i = jnp.zeros((B, CP.PC_I_N), jnp.int32)
     pc_i = pc_i.at[:, CP.PI_ON].set(ps_on)
     pc_i = pc_i.at[:, CP.PI_IPD].set(ipdopd_on)
@@ -952,6 +966,8 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
     icc_off = iid_off + penv * iid_bpe
     j34 = jnp.arange(34)[None, None, :]
     em5 = jnp.arange(5)[None, :, None]
+    npar3 = npar[:, None, None]
+    npar_nib3 = npar_nib[:, None, None]
 
     def gather_ps(pos):
         return jnp.take_along_axis(side, pos.clip(0, SIDE_MAX - 1)
@@ -963,16 +979,16 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
             & (ps_on > 0)[:, None, None]
 
     # iid: i8 bytes (fine quant) or +7-biased nibbles (coarse)
-    vb = gather_ps(iid_off[:, None, None] + em5 * npar
-                   + j34.clip(0, npar - 1))
+    vb = gather_ps(iid_off[:, None, None] + em5 * npar3
+                   + jnp.minimum(j34, npar3 - 1))
     vbyte = (vb ^ 128) - 128
-    vn = gather_ps(iid_off[:, None, None] + em5 * npar_nib + (j34 >> 1))
+    vn = gather_ps(iid_off[:, None, None] + em5 * npar_nib3 + (j34 >> 1))
     vnib = ((vn >> (4 * (j34 & 1))) & 15) - 7
-    iid = jnp.where(valid_mask(npar),
+    iid = jnp.where(valid_mask(npar3),
                     jnp.where(pquant[:, None, None] > 0, vbyte, vnib), 0)
     # icc: raw-code nibbles
-    vn = gather_ps(icc_off[:, None, None] + em5 * npar_nib + (j34 >> 1))
-    icc = jnp.where(valid_mask(npar), (vn >> (4 * (j34 & 1))) & 15, 0)
+    vn = gather_ps(icc_off[:, None, None] + em5 * npar_nib3 + (j34 >> 1))
+    icc = jnp.where(valid_mask(npar3), (vn >> (4 * (j34 & 1))) & 15, 0)
     nipd = psb[:, PS_NIPD].clip(0, 17)
     nipd_nib = (nipd + 1) >> 1
     ipd_off = icc_off + penv * npar_nib
@@ -991,6 +1007,8 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
         iid.reshape(B, 170), icc.reshape(B, 170),
         ipd.reshape(B, 85), opd.reshape(B, 85)], axis=1).astype(jnp.int8)
     pc = dict(pc_i=pc_i, pc_b=pc_b)
+    if m34 is not None:
+        pc["m34"] = m34
 
     new_carry = dict(
         hdr=hdr, s_idx=s_idx_next, bw=bw_now,

@@ -558,12 +558,18 @@ class PsStreamWriter:
     def __init__(self, seed: int = 0, iid_mode: int = 1, icc_mode: int = 1,
                  enable_iid: bool = True, enable_icc: bool = True,
                  enable_ipdopd: bool = False, allow_dt: bool = True,
-                 frame_classes=(0, 1), header_every: int = 100):
+                 frame_classes=(0, 1), header_every: int = 100,
+                 switch_at: dict | None = None):
         from ..bitstream import ps_syntax as PSyn
         self.PSyn = PSyn
         self.rng = np.random.default_rng(seed + 1000)
         self.iid_mode = iid_mode
         self.icc_mode = icc_mode
+        # {frame_idx: (iid_mode, icc_mode)} band-resolution switches,
+        # applied just before that frame's payload is written
+        self.switch_at = dict(switch_at or {})
+        self._force_header = False
+        self._force_df = False
         self.enable_iid = enable_iid
         self.enable_icc = enable_icc
         self.enable_ipdopd = enable_ipdopd
@@ -581,6 +587,24 @@ class PsStreamWriter:
         self.ipd = np.zeros((6, 34), np.int64)
         self.opd = np.zeros((6, 34), np.int64)
         self.num_env = 0
+
+    def switch_mode(self, iid_mode: int, icc_mode: int | None = None):
+        """Change the band resolution mid-stream (PS header rewrite).
+
+        The next payload carries a header with the new modes and codes
+        every envelope delta-frequency (df), sidestepping cross-resolution
+        dt bases — exactly the 20<->34 transition the decoder's state
+        fixup (aacps.c:831-860 map_val + ipdopd_reset) converts across."""
+        PSyn = self.PSyn
+        self.iid_mode = int(iid_mode)
+        if icc_mode is not None:
+            self.icc_mode = int(icc_mode)
+        self.nr_iid_par = PSyn.NR_IIDICC_PAR_TAB[self.iid_mode]
+        self.nr_icc_par = PSyn.NR_IIDICC_PAR_TAB[self.icc_mode]
+        self.nr_ipdopd_par = PSyn.NR_IIDOPD_PAR_TAB[self.iid_mode]
+        self.iid_quant = int(self.iid_mode > 2)
+        self._force_header = True
+        self._force_df = True
 
     def _ps_enc(self, idx):
         from ..tables import aac_tables as TT
@@ -622,10 +646,18 @@ class PsStreamWriter:
     def ps_payload(self) -> BitWriter:
         PSyn = self.PSyn
         rng = self.rng
+        if self.frame_idx in self.switch_at:
+            sw = self.switch_at[self.frame_idx]
+            self.switch_mode(*(sw if isinstance(sw, (tuple, list))
+                               else (sw,)))
         bw = BitWriter()
         first = self.frame_idx == 0
-        header = first or (self.header_every
-                           and self.frame_idx % self.header_every == 0)
+        header = first or self._force_header \
+            or (self.header_every
+                and self.frame_idx % self.header_every == 0)
+        self._force_header = False
+        force_df = self._force_df
+        self._force_df = False
         bw.put1(int(header))
         if header:
             bw.put1(int(self.enable_iid))
@@ -658,6 +690,7 @@ class PsStreamWriter:
             lim = 7 + 8 * iq
             for e in range(num_env):
                 dt = int(self.allow_dt and not (first and e == 0)
+                         and not (force_df and e == 0)
                          and rng.integers(0, 2))
                 bw.put1(dt)
                 tab = [PSyn.HUFF_IID_DF0, PSyn.HUFF_IID_DF1,
@@ -670,6 +703,7 @@ class PsStreamWriter:
         if self.enable_icc:
             for e in range(num_env):
                 dt = int(self.allow_dt and not (first and e == 0)
+                         and not (force_df and e == 0)
                          and rng.integers(0, 2))
                 bw.put1(dt)
                 tab = PSyn.HUFF_ICC_DT if dt else PSyn.HUFF_ICC_DF
@@ -684,12 +718,14 @@ class PsStreamWriter:
             sub.put1(1)  # enable_ipdopd
             for e in range(num_env):
                 dt = int(self.allow_dt and not (first and e == 0)
+                         and not (force_df and e == 0)
                          and rng.integers(0, 2))
                 sub.put1(dt)
                 self._write_par(sub, self.ipd, self.nr_ipdopd_par, e, dt,
                                 PSyn.HUFF_IPD_DT if dt else PSyn.HUFF_IPD_DF,
                                 0, 0, 7, mask=0x07)
                 dt = int(self.allow_dt and not (first and e == 0)
+                         and not (force_df and e == 0)
                          and rng.integers(0, 2))
                 sub.put1(dt)
                 self._write_par(sub, self.opd, self.nr_ipdopd_par, e, dt,

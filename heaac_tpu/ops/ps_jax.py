@@ -294,6 +294,49 @@ def _decorrelate_scans(power, in_re, in_im, state, ap, c):
     return tgain, ap_out, tstate, ap_new
 
 
+def map_val_20_to_34(v):
+    """Band-resolution conversion of a carried per-band tensor at a
+    20->34 PS band-mode flip (aacps.c map_val_20_to_34, applied to the
+    H-matrix row-0 carry).  Bands along axis -2: v [..., 34, k]."""
+    from .ps_np import _IDX_20_TO_34
+    half = np.float32(0.5)
+    idx = np.array([max(s, 0) for s in _IDX_20_TO_34], np.int32)
+    out = jnp.take(v, idx, axis=-2)
+    out = out.at[..., 1, :].set((v[..., 0, :] + v[..., 1, :]) * half)
+    out = out.at[..., 4, :].set((v[..., 2, :] + v[..., 3, :]) * half)
+    return out
+
+
+def map_val_34_to_20(v):
+    """34->20 flip conversion of a carried per-band tensor
+    (aacps.c map_val_34_to_20); bands 20..33 keep their stale values
+    exactly like the reference's in-place arrays.  v [..., 34, k]."""
+    p = lambda i: v[..., i, :]
+    third = np.float32(0.33333333)
+    half = np.float32(0.5)
+    quarter = np.float32(0.25)
+    rows = [
+        (2 * p(0) + p(1)) * third,
+        (p(1) + 2 * p(2)) * third,
+        (2 * p(3) + p(4)) * third,
+        (p(4) + 2 * p(5)) * third,
+        (p(6) + p(7)) * half,
+        (p(8) + p(9)) * half,
+        p(10), p(11),
+        (p(12) + p(13)) * half,
+        (p(14) + p(15)) * half,
+        p(16), p(17), p(18), p(19),
+        (p(20) + p(21)) * half,
+        (p(22) + p(23)) * half,
+        (p(24) + p(25)) * half,
+        (p(26) + p(27)) * half,
+        (p(28) + p(29) + p(30) + p(31)) * quarter,
+        (p(32) + p(33)) * half,
+    ]
+    return jnp.concatenate([jnp.stack(rows, axis=-2), v[..., 20:, :]],
+                           axis=-2)
+
+
 def hybrid_synthesis(buf, is34: int = 0):
     """[B,91,32,2] -> [B,2,38,64] (aacps.c:397-445)."""
     B = buf.shape[0]
