@@ -358,6 +358,147 @@ def _write_band(bw: BitWriter, q: np.ndarray, cb: int) -> None:
                 bw.put(n, av - (1 << n))
 
 
+# ---------------------------------------------------------------------------
+# ANMR trellis search (aaccoder.c:476 search_for_quantizers_anmr +
+# aaccoder.c:258 encode_window_bands_info, re-expressed): a scalefactor
+# Viterbi whose transition costs are the exact scalefactor-delta VLC bits
+# and whose node costs are lambda-weighted quantization distortion plus
+# exact spectral bits, followed by a codebook run trellis that jointly
+# minimizes section_data run bits and spectral bits.
+# ---------------------------------------------------------------------------
+_BITS_INF = 1 << 30
+_N_STATES = 61            # TRELLIS_STATES analogue: max legal sf delta is 60
+
+
+def _band_bits_states(qmat: np.ndarray, cb: int) -> np.ndarray:
+    """Exact spectral bit counts for S quantizations of one band under
+    codebook cb (vectorized `_band_bits`).  qmat: [S, n] int64.  States the
+    codebook cannot represent return _BITS_INF."""
+    _, bits = _enc_vlc(cb)
+    dim, lav, signed = T.CODEBOOK_INFO[cb]
+    mod = 2 * lav + 1 if signed else lav + 1
+    S, n = qmat.shape
+    a = np.abs(qmat)
+    amax = a.max(axis=1) if n else np.zeros(S, np.int64)
+    if signed:
+        # clamp for the table gather; out-of-range states are masked via ok
+        v = np.clip(qmat, -lav, lav) + lav
+        ok = amax <= lav
+    else:
+        v = np.minimum(a, 16 if cb == 11 else lav)
+        ok = np.ones(S, bool) if cb == 11 else (amax <= lav)
+    t = v.reshape(S, n // dim, dim)
+    idx = np.zeros((S, n // dim), np.int64)
+    for d in range(dim):
+        idx = idx * mod + t[:, :, d]
+    total = bits[idx].sum(axis=1).astype(np.int64)
+    if not signed:
+        total = total + (a != 0).sum(axis=1)         # sign bits
+        if cb == 11:
+            # escape sequence: (bit_length-5) ones + 0 + (bit_length-1)
+            # value bits = 2*(bit_length-1)-3 extra (matches _write_band)
+            esc = a >= 16
+            if esc.any():
+                bl = np.frexp(np.maximum(a, 1).astype(np.float64))[1]
+                total = total + np.where(esc, 2 * (bl - 1) - 3, 0).sum(axis=1)
+    return np.where(ok, total, _BITS_INF)
+
+
+def _cb_candidates_for_amax(amax: int) -> list[int]:
+    """Admissible codebooks for a band whose max |q| is amax (1..8191)."""
+    cands = [cb for cb, (_, lav, _) in T.CODEBOOK_INFO.items()
+             if amax <= lav]
+    if 11 not in cands:
+        cands.append(11)
+    return cands
+
+
+def _anmr_band_table(c: np.ndarray, states: np.ndarray,
+                     sf_bias: int) -> tuple[np.ndarray, np.ndarray, list]:
+    """Per-state (distortion, best spectral bits) for one band over all
+    candidate scalefactor states; lambda-independent, so computed once per
+    frame and reused across the rate loop's Viterbi passes.
+
+    Returns (dist[S] f64, bits[S] i64, qs[S] list of int64 arrays)."""
+    S = len(states)
+    step = 2.0 ** (-(states[:, None].astype(np.float64) - sf_bias) / 4.0)
+    mag = np.minimum(np.floor(np.abs(c[None, :] * step) ** 0.75 + 0.4054),
+                     MAX_QUANT)
+    qmat = (-np.sign(c[None, :]) * mag).astype(np.int64)
+    istep = (2.0 ** ((states.astype(np.float64) - sf_bias)
+                     / 4.0)).astype(np.float32)
+    deq = ((-np.sign(qmat) * np.abs(qmat).astype(np.float32) ** (4.0 / 3.0))
+           .astype(np.float32) * istep[:, None]).astype(np.float32)
+    dist = ((c[None, :].astype(np.float64) - deq) ** 2).sum(axis=1)
+    amax = np.abs(qmat).max(axis=1) if qmat.shape[1] else np.zeros(S, np.int64)
+    bits = np.full(S, _BITS_INF, np.int64)
+    nz = amax[amax > 0]
+    # union of per-state admissible books = books for the smallest nonzero
+    # amax (inadmissible (state, cb) pairs come back as _BITS_INF)
+    bits_all = {}
+    for cb in _cb_candidates_for_amax(int(nz.min()) if len(nz) else 1):
+        bits_all[cb] = _band_bits_states(qmat, cb)
+        bits = np.minimum(bits, bits_all[cb])
+    # all-zero states: 0 spectral bits (the run trellis decides whether the
+    # band rides a neighboring section or becomes ZERO_BT)
+    bits = np.where(amax == 0, 0, bits)
+    return dist, bits, [qmat[s] for s in range(S)], bits_all
+
+
+@functools.cache
+def _zero_band_bits(n: int, cb: int) -> int:
+    """Spectral bits for an all-zero band of width n under codebook cb."""
+    return int(_band_bits_states(np.zeros((1, n), np.int64), cb)[0])
+
+
+def _codebook_run_trellis(band_cost: np.ndarray, is8: bool) -> np.ndarray:
+    """Optimal section layout for one window group: Viterbi over
+    (band, codebook) where staying in a codebook extends the current run
+    (run-escape bits accounted exactly) and switching pays 4+run_bits
+    (encode_window_bands_info, aaccoder.c:258-357).  Zero bands may join a
+    neighboring nonzero section (paying the all-zero codewords plus one
+    delta-0 scalefactor code) when that beats closing and reopening a run.
+    band_cost: [nb, 12] spectral(+scalefactor) bits per (band, codebook),
+    _BITS_INF where inadmissible.  Returns cbs[nb] int64."""
+    nb, ncb = band_cost.shape
+    run_bits = 3 if is8 else 5
+    resc = (1 << run_bits) - 1
+    cost = np.full(ncb, np.inf)
+    run = np.zeros(ncb, np.int64)
+    prev = np.full((nb, ncb), -1, np.int64)
+    stay = np.zeros((nb, ncb), bool)
+    for cb in range(ncb):
+        if band_cost[0, cb] < _BITS_INF:
+            cost[cb] = 4 + run_bits + band_cost[0, cb]
+            run[cb] = 1
+    for b in range(1, nb):
+        ncost = np.full(ncb, np.inf)
+        nrun = np.zeros(ncb, np.int64)
+        best_from = int(np.argmin(cost))
+        for cb in range(ncb):
+            if band_cost[b, cb] >= _BITS_INF:
+                continue
+            # stay: extend the run (extra run_bits each time the length
+            # crosses a run-escape boundary: bits(r) = run_bits*(r//resc+1))
+            c_stay = cost[cb] + band_cost[b, cb] \
+                + (run_bits if (run[cb] + 1) % resc == 0 else 0)
+            # switch: close the best previous section, open a new one
+            c_switch = cost[best_from] + band_cost[b, cb] + 4 + run_bits
+            if c_stay <= c_switch:
+                ncost[cb], nrun[cb] = c_stay, run[cb] + 1
+                prev[b, cb], stay[b, cb] = cb, True
+            else:
+                ncost[cb], nrun[cb] = c_switch, 1
+                prev[b, cb], stay[b, cb] = best_from, False
+        cost, run = ncost, nrun
+    cbs = np.zeros(nb, np.int64)
+    cb = int(np.argmin(cost))
+    for b in range(nb - 1, -1, -1):
+        cbs[b] = cb
+        cb = int(prev[b, cb])
+    return cbs
+
+
 class AacEncoder:
     """AAC encoder: int16 PCM [n, ch] -> ADTS bytes.
 
@@ -372,9 +513,12 @@ class AacEncoder:
     def __init__(self, sample_rate: int, channels: int, qstep: int = 28,
                  object_type: int = 2, bitrate: int | None = None,
                  window_switching: bool = True,
-                 tns_inject: dict | None = None):
+                 tns_inject: dict | None = None, coder: str = "twoloop"):
         if channels not in (1, 2):
             raise ValueError("mono or stereo only")
+        if coder not in ("twoloop", "anmr"):
+            raise ValueError("coder must be 'twoloop' or 'anmr'")
+        self.coder = coder
         if object_type not in (1, 2):
             raise ValueError("AAC-LC or AAC-Main only")
         sr = np.asarray(T.SAMPLE_RATES)
@@ -554,6 +698,143 @@ class AacEncoder:
         bits = self._count_ics_bits(an, sfs, qs, cbs, global_gain)
         return dict(sfs=sfs, qs=qs, cbs=cbs, global_gain=global_gain,
                     bits=bits)
+
+    # ---------------- ANMR trellis coder ----------------------------------
+    def _anmr_tables(self, an: dict):
+        """Lambda-independent per-band trellis tables, cached on the
+        analysis dict: candidate scalefactor states (a 61-wide window, so
+        every state pair is a legal +-60 delta), per-state distortion and
+        exact spectral bits, and the scalefactor-delta transition-bit
+        matrix (search_for_quantizers_anmr's paths[][] node/edge costs)."""
+        if "anmr" in an:
+            return an["anmr"]
+        bands, sf_bias = an["bands"], an["sf_bias"]
+        absall = [np.abs(c) for c in bands]
+        nzmin = min((float(a[a > 0].min()) for a in absall
+                     if np.any(a > 0)), default=0.0)
+        qmax = max((float(a.max()) for a in absall), default=0.0)
+        if qmax <= 0.0 or nzmin <= 0.0:
+            an["anmr"] = None
+            return None
+        # finest state: min nonzero coef not clipped at MAX_QUANT;
+        # coarsest: max coef still quantizes nonzero (aaccoder.c:506-509)
+        q0low = int(np.clip(round(sf_bias + 4 * np.log2(nzmin)) - 69,
+                            0, 255))
+        q1high = int(np.clip(round(sf_bias + 4 * np.log2(qmax)) + 6,
+                             0, 255))
+        if q1high - q0low > _N_STATES - 1:
+            en = sum(float((a.astype(np.float64) ** 2).sum())
+                     for a in absall)
+            cnt = sum(int((a > 0).sum()) for a in absall)
+            qc = int(round(sf_bias + 2 * np.log2(en / max(cnt, 1)) - 28))
+            q0 = int(np.clip(qc - 30, q0low, max(q0low, q1high - 60)))
+        else:
+            q0 = q0low
+        states = np.clip(np.arange(q0, q0 + _N_STATES), 0, 255)
+        _, sf_bits = _sf_vlc_enc()
+        trans = sf_bits[(states[None, :] - states[:, None]) + 60] \
+            .astype(np.float64)
+        tabs = [_anmr_band_table(c, states, sf_bias) for c in bands]
+        en = np.array([float((c.astype(np.float64) ** 2).sum())
+                       for c in bands])
+        an["anmr"] = dict(states=states, trans=trans, tabs=tabs, en=en)
+        return an["anmr"]
+
+    def _code_ics_anmr(self, an: dict) -> dict:
+        """Trellis (Viterbi) scalefactor + codebook search: minimizes
+        sum over bands of (distortion / effective-threshold) * weight +
+        exact spectral bits + exact scalefactor-delta bits + exact
+        section run bits (search_for_quantizers_anmr, aaccoder.c:476,
+        re-expressed around this encoder's psy thresholds and the
+        in-frame lambda rate loop)."""
+        tb = self._anmr_tables(an)
+        bands, sf_bias = an["bands"], an["sf_bias"]
+        nbands = len(bands)
+        if tb is None:
+            qs = [np.zeros(len(c), np.int64) for c in bands]
+            return dict(sfs=np.zeros(nbands, np.int64), qs=qs,
+                        cbs=np.zeros(nbands, np.int64), global_gain=100,
+                        bits=self._count_ics_bits(
+                            an, np.zeros(nbands, np.int64), qs,
+                            np.zeros(nbands, np.int64), 100))
+        thr = np.maximum(np.asarray(an["thr0"], np.float64) * self.lam,
+                         1e-30)
+        states, trans, tabs = tb["states"], tb["trans"], tb["tabs"]
+        # psy zero decision (aaccoder.c:553: energy <= threshold)
+        coded = [i for i in range(nbands) if tb["en"][i] > thr[i]]
+        sfs = np.zeros(nbands, np.int64)
+        qs = [np.zeros(len(c), np.int64) for c in bands]
+        has_sf = np.zeros(nbands, bool)
+        sel = np.full(nbands, -1, np.int64)   # chosen state per coded band
+        if coded:
+            # Viterbi: node = w*dist + spectral bits, edge = sf-delta bits
+            args = []
+            cost = None
+            for i in coded:
+                dist, bits, _, _ = tabs[i]
+                w = 0.7 * len(bands[i]) / thr[i]
+                node = w * dist + bits.astype(np.float64)
+                if cost is None:
+                    cost = node
+                    args.append(None)
+                else:
+                    tot = cost[:, None] + trans
+                    a = tot.argmin(axis=0)
+                    cost = tot[a, np.arange(len(states))] + node
+                    args.append(a)
+            s = int(np.argmin(cost))
+            for k in range(len(coded) - 1, -1, -1):
+                i = coded[k]
+                sfs[i] = int(states[s])
+                qs[i] = tabs[i][2][s]
+                sel[i] = s
+                # a band the Viterbi quantized to silence behaves exactly
+                # like a psy-zeroed band from here on
+                has_sf[i] = bool(np.any(qs[i]))
+                if args[k] is not None:
+                    s = int(args[k][s])
+        # codebook run trellis per window group (section_data is per group)
+        _, sf_bits = _sf_vlc_enc()
+        sf0 = int(sf_bits[60])
+        nb, ngroups, is8 = an["nb"], an["ngroups"], an["is8"]
+        band_cost = np.full((nbands, 12), float(_BITS_INF))
+        for i in range(nbands):
+            if has_sf[i]:
+                for cb, ba in tabs[i][3].items():
+                    band_cost[i, cb] = float(ba[sel[i]])
+            else:
+                band_cost[i, 0] = 0.0
+                for cb in range(1, 12):
+                    band_cost[i, cb] = _zero_band_bits(len(bands[i]),
+                                                       cb) + sf0
+        cbs = np.zeros(nbands, np.int64)
+        for g in range(ngroups):
+            cbs[g * nb:(g + 1) * nb] = _codebook_run_trellis(
+                band_cost[g * nb:(g + 1) * nb], is8)
+        # promoted all-zero bands (cb>0, no Viterbi sf) ride the previous
+        # coded band's scalefactor (delta 0); all states share one 61-wide
+        # window so any assignment keeps deltas legal
+        last = None
+        for i in range(nbands):
+            if cbs[i] == 0:
+                sfs[i] = 0
+                continue
+            if has_sf[i]:
+                last = int(sfs[i])
+            elif last is not None:
+                sfs[i] = last
+        first = next((i for i in range(nbands) if cbs[i]), None)
+        if first is not None and not has_sf[first]:
+            nxt = next((int(sfs[i]) for i in range(first, nbands)
+                        if cbs[i] and has_sf[i]), 100)
+            for i in range(first, nbands):
+                if cbs[i] and not has_sf[i] and sfs[i] == 0:
+                    sfs[i] = nxt
+                elif has_sf[i]:
+                    break
+        gg = int(sfs[first]) if first is not None else 100
+        bits = self._count_ics_bits(an, sfs, qs, cbs, gg)
+        return dict(sfs=sfs, qs=qs, cbs=cbs, global_gain=gg, bits=bits)
 
     def _count_ics_bits(self, an, sfs, qs, cbs, global_gain) -> int:
         """Exact ICS bit count (mirror of _emit_ics)."""
@@ -819,6 +1100,9 @@ class AacEncoder:
             F = _forward_matrices()[ws]
             analyses = [self._analyze_ics(block[:, c] @ F, c, ws, groups)
                         for c in range(self.channels)]
+            code = (self._code_ics_anmr
+                    if self.coder == "anmr" and target is not None
+                    else self._code_ics)
             if target is None:
                 codeds = [self._code_ics(an) for an in analyses]
             else:
@@ -830,7 +1114,7 @@ class AacEncoder:
                 best = None           # (bits, codeds) best under 1.02*target
                 iters = 12 if t < 3 else 6
                 for _ in range(iters):
-                    codeds = [self._code_ics(an) for an in analyses]
+                    codeds = [code(an) for an in analyses]
                     bits = hdr_bits + sum(c["bits"] for c in codeds)
                     ratio = bits / max(target, 1.0)
                     if ratio <= 1.02 and (best is None or bits > best[0]):
@@ -853,6 +1137,8 @@ class AacEncoder:
                 # worst noise/threshold bands (aaccoder.c:381 analogue)
                 budget = int(1.02 * target) - hdr_bits
                 used = sum(c["bits"] for c in codeds)
+                if self.coder == "anmr":
+                    used = budget   # the trellis already spent the budget
                 if used < budget:
                     spare = budget - used
                     share = spare // max(len(codeds), 1)
