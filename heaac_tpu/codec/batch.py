@@ -25,9 +25,10 @@ def _host_couple_and_tns(dec, raise_point3: bool = True) -> None:
     shared by the planning decoders (aacdec.c:1870-1898 stages 0/1).
 
     AFTER_IMDCT (point 3) coupling mixes decoded TIME signals: the LC
-    batched path expresses it as a post-scan device mix over the extra
-    CCE lanes (see LcPlanningDecoder); the HE planners still route such
-    streams to the single-stream decoder (raise_point3)."""
+    and qwire batched paths express it as a post-scan device mix over
+    extra CCE lanes (LcPlanningDecoder / QwirePlanningDecoder +
+    qwire_scan_decoder_couple); only the dense-plan HE planner still
+    routes such streams to the single-stream decoder (raise_point3)."""
     from ..bitstream import aac_syntax as syn
     dec._apply_dependent_coupling_stage(0, before_tns=True)
     for lane in dec.lanes + dec.cce_lanes:
@@ -81,6 +82,59 @@ def _point3_edges(dec, lane_index_of) -> list:
                     edges.append((li, src, float(coup.gain[index][0])))
                 index += 1
     return edges
+
+
+def _point3_edges_sub(dec, qpos) -> list:
+    """This frame's AFTER_IMDCT coupling edges [(tgt_lane, tgt_sub,
+    src_lane, gain)] in the emitted qwire lane numbering; ``qpos`` maps
+    (etype, eid, ch) -> (lane, stereo sub).  Mirrors
+    decoder._apply_independent_coupling (aacdec.c:1849-1862); SCE targets
+    always have ch_select==2 (decode_cce, aacdec.c:1523) so only their L
+    sub-channel is coupled, exactly like the reference."""
+    edges = []
+    for key, el in dec.elements.items():
+        if key[0] != T.TYPE_CCE or el.coup is None \
+                or not el.present_this_frame \
+                or el.coup.coupling_point != 3:
+            continue
+        src = qpos.get((T.TYPE_CCE, key[1], 0))
+        if src is None:
+            continue
+        coup = el.coup
+        index = 0
+        for c in range(coup.num_coupled + 1):
+            tkey = (coup.type[c], coup.id_select[c])
+            ch_sel = coup.ch_select[c]
+            if dec.elements.get(tkey) is None:
+                index += 1 + (ch_sel == 3)
+                continue
+            if ch_sel != 1:
+                p = qpos.get((tkey[0], tkey[1], 0))
+                if p is not None:
+                    edges.append(p + (src[0], float(coup.gain[index][0])))
+                if ch_sel != 0:
+                    index += 1
+            if ch_sel != 2:
+                p = qpos.get((tkey[0], tkey[1], 1))
+                if p is not None:
+                    edges.append(p + (src[0], float(coup.gain[index][0])))
+                index += 1
+    return edges
+
+
+def _couple_series(frames_couple: list):
+    """Per-frame edge lists -> (struct [(tgt_lane, tgt_sub, src_lane)],
+    gains [T, K] f32) with one edge structure for the whole stream (gain
+    0 on frames where an edge is absent), or None without any edges."""
+    struct = sorted({e[:3] for fr in frames_couple for e in fr})
+    if not struct:
+        return None
+    pos = {e: k for k, e in enumerate(struct)}
+    gains = np.zeros((len(frames_couple), len(struct)), np.float32)
+    for t, fr in enumerate(frames_couple):
+        for tl, ts, sl, g in fr:
+            gains[t, pos[(tl, ts, sl)]] = g
+    return struct, gains
 
 
 class PlanningDecoder(Decoder):
@@ -347,6 +401,11 @@ class QwirePlanningDecoder(Decoder):
         self.allow_ps_flips = False
         self.cur_is34 = None     # THIS frame's effective PS band mode
         self.is34_frames: list = []
+        # AFTER_IMDCT (point 3) CCE: per frame [(tgt_lane, tgt_sub,
+        # src_lane, gain)] in the emitted qwire lane numbering (CCE
+        # elements ride extra non-output lanes, aacdec.c:1919-1929)
+        self.frames_couple: list = []
+        self.out_nl = None       # output lanes (excludes CCE lanes)
 
     def decode_frame(self, packet: bytes):
         # scope the bandpos-capture flag to THIS parse: a module-global
@@ -416,14 +475,18 @@ class QwirePlanningDecoder(Decoder):
         from ..bitstream.sbr_syntax import SBRContext
         from . import qwire
         m = self.m4ac
-        _host_couple_and_tns(self)
+        _host_couple_and_tns(self, raise_point3=False)
         lanes_out = []
-        for lane in self.lanes:
+        qpos = {}    # (etype, eid, ch) -> (emitted lane, stereo sub)
+        for lane in self.lanes + self.cce_lanes:
             key = (lane.elem_type, lane.elem_id)
             el = self.elements[key]
             is_ps = (lane.elem_type == T.TYPE_SCE and m.ps == 1)
             if is_ps and lane.ch == 1:
+                # PS second output shares the SCE lane's stereo sub-axis
+                qpos[key + (1,)] = (qpos[key + (0,)][0], 1)
                 continue
+            qpos[key + (lane.ch,)] = (len(lanes_out), 0)
             cd = el.cur[lane.ch]
             meta = dict(ws=int(cd.ics.window_sequence),
                         kbd=int(cd.ics.use_kb_window))
@@ -431,7 +494,11 @@ class QwirePlanningDecoder(Decoder):
             if lane.elem_type == T.TYPE_SCE:
                 spec = self._try_spec_block(cd)
             if spec is None:
-                toks, ext = qwire.emit_coeff_tokens(cd.coeffs)
+                coeffs = cd.coeffs
+                if coeffs is None or not el.present_this_frame:
+                    # a CCE absent this frame keeps its lane valid
+                    coeffs = np.zeros(1024, np.float32)
+                toks, ext = qwire.emit_coeff_tokens(coeffs)
             sbr = None
             header = b""
             if m.sbr == 1:
@@ -470,6 +537,8 @@ class QwirePlanningDecoder(Decoder):
                 lanes_out.append(qwire.assemble_lane(toks, ext, side,
                                                      header))
         self.frames_q.append(lanes_out)
+        self.out_nl = len(lanes_out) - len(self.cce_lanes)
+        self.frames_couple.append(_point3_edges_sub(self, qpos))
         self.is34_frames.append((self.cur_is34
                                  if self.cur_is34 is not None
                                  else self.ps_is34) or 0)
@@ -481,13 +550,17 @@ class QwirePlanningDecoder(Decoder):
 def parse_stream_qwire(data: bytes, asc: bytes | None = None,
                        max_frames: int | None = None,
                        err_out: list | None = None,
-                       is34_out: list | None = None):
+                       is34_out: list | None = None,
+                       info_out: dict | None = None):
     """One ADTS stream -> (frames list of per-lane (payload, rec), rate,
     n_lanes, is34, downsampled) in the qwire format, with per-frame error
     isolation (corrupt frame -> silence lanes, count stays aligned).
     ``err_out``, if given, receives the stream's corrupt-frame count.
     ``is34_out``, if given, enables mid-stream PS band-mode flips (for
-    the flip-capable scan graph) and receives the per-frame mode trail."""
+    the flip-capable scan graph) and receives the per-frame mode trail.
+    ``info_out``, if given, receives ``out_nl`` (output lanes: n_lanes
+    minus trailing CCE lanes) and ``couple`` (None, or the stream's
+    AFTER_IMDCT edge structure + per-frame gains from _couple_series)."""
     from ..bitstream.reader import BitstreamError
     from . import qwire
 
@@ -513,21 +586,54 @@ def parse_stream_qwire(data: bytes, asc: bytes | None = None,
                 elif dec.lanes:
                     nl_ = sum(1 for ln in dec.lanes
                               if not (ln.elem_type == T.TYPE_SCE
-                                      and ln.ch == 1))
+                                      and ln.ch == 1)) \
+                        + len(dec.cce_lanes)
                 else:
                     nl_ = 1
                 sil = qwire.silence_lane()
                 dec.frames_q.append([sil for _ in range(nl_)])
+                dec.frames_couple.append([])
                 dec.is34_frames.append(dec.is34_frames[-1]
                                        if dec.is34_frames else 0)
     if not dec.frames_q:
         raise BitstreamError("no decodable frames in stream")
+    nl = len(dec.frames_q[0])
+    if any(len(fr) != nl for fr in dec.frames_q):
+        # a CCE (extra lane) appearing mid-stream changes the lane
+        # structure; route such streams to the single-stream decoder
+        raise NotImplementedError("lane count changes mid-stream")
     if err_out is not None:
         err_out.append(dec.error_count)
     if is34_out is not None:
         is34_out.extend(dec.is34_frames)
-    return (dec.frames_q, dec.sample_rate, len(dec.frames_q[0]),
+    if info_out is not None:
+        info_out["out_nl"] = dec.out_nl if dec.out_nl is not None else nl
+        info_out["couple"] = _couple_series(dec.frames_couple)
+    return (dec.frames_q, dec.sample_rate, nl,
             dec.ps_is34 or 0, dec.downsampled)
+
+
+def _flatten_couple(couples: list, nl: int, T: int):
+    """Per-slot (struct, gains)|None -> batched AFTER_IMDCT edge arrays
+    (etgt [K] i32, etch [K] i32, esrc [K] i32, gains [T, K] f32) over the
+    global lane axis (slot b's lanes start at b*nl), or None when no slot
+    couples.  Per-stream gains shorter than T pad with 0 (silence)."""
+    etgt, etch, esrc, gcols = [], [], [], []
+    for b, couple in enumerate(couples):
+        if not couple:
+            continue
+        struct, gains = couple
+        for k, (tl, ts, sl) in enumerate(struct):
+            etgt.append(b * nl + tl)
+            etch.append(ts)
+            esrc.append(b * nl + sl)
+            col = np.zeros(T, np.float32)
+            col[:len(gains)] = gains[:T, k]
+            gcols.append(col)
+    if not etgt:
+        return None
+    return (np.array(etgt, np.int32), np.array(etch, np.int32),
+            np.array(esrc, np.int32), np.stack(gcols, axis=1))
 
 
 class QStreamBatchDecoder:
@@ -540,10 +646,13 @@ class QStreamBatchDecoder:
     def __init__(self, streams, batch: int | None = None,
                  max_frames: int | None = None):
         from . import qwire
-        parsed = [parse_stream_qwire(s, max_frames=max_frames)
-                  for s in streams]
+        infos = [dict() for _ in streams]
+        parsed = [parse_stream_qwire(s, max_frames=max_frames,
+                                     info_out=infos[i])
+                  for i, s in enumerate(streams)]
         rate, nl, is34, ds = parsed[0][1:5]
         self.sample_rate, self.nl = rate, nl
+        self.out_nl = infos[0]["out_nl"]
         self.is34, self.ds = is34, ds
         # pad shorter streams to the LONGEST with silence lanes — min()
         # would silently truncate audio (round-2 advisor finding)
@@ -585,14 +694,28 @@ class QStreamBatchDecoder:
         self.L = L
         self._frames_total = sum(
             len(parsed[b % len(parsed)][0]) for b in range(B))
+        # AFTER_IMDCT coupling edges, flattened into global lane indices
+        self._couple = _flatten_couple(
+            [infos[b % len(parsed)].get("couple") for b in range(B)],
+            nl, self.T)
 
     def decode(self):
         import jax
 
-        from .heaac_graph import init_qwire_carry, qwire_scan_decoder
+        from .heaac_graph import (init_qwire_carry, qwire_scan_decoder,
+                                  qwire_scan_decoder_couple)
+        carry = init_qwire_carry(self.L)
+        if self._couple is not None:
+            run = qwire_scan_decoder_couple(self.is34, self.ds, self.S,
+                                            self.rate_idx, self.NB)
+            etgt, etch, esrc, gains = self._couple
+            _, pcm = run(jax.device_put(self.heap_w),
+                         jax.device_put(self.rec_w), carry,
+                         jax.device_put(etgt), jax.device_put(etch),
+                         jax.device_put(esrc), jax.device_put(gains))
+            return pcm
         run = qwire_scan_decoder(self.is34, self.ds, self.S,
                                  self.rate_idx, self.NB)
-        carry = init_qwire_carry(self.L)
         _, pcm = run(jax.device_put(self.heap_w),
                      jax.device_put(self.rec_w), carry)
         return pcm
@@ -619,8 +742,13 @@ def decode_qwire_flip_stream(data: bytes,
     from .heaac_graph import init_qwire_flip_carry, qwire_scan_decoder_flip
 
     is34_l: list = []
+    info: dict = {}
     frames_q, _rate, nl, _, ds = parse_stream_qwire(
-        data, max_frames=max_frames, is34_out=is34_l)
+        data, max_frames=max_frames, is34_out=is34_l, info_out=info)
+    if info.get("couple") is not None:
+        raise NotImplementedError(
+            "PS band-mode flips combined with AFTER_IMDCT CCE use the "
+            "single-stream decoder")
     T = len(frames_q)
     heap = bytearray()
     recs = np.zeros((T, nl, qwire.REC_W), np.int32)
@@ -688,11 +816,14 @@ class QwirePipelinedDecoder:
         hdr = parse_adts_header(BitReader(self.streams[0][:7]))
         self.hdr = hdr
         self.G = min(group_streams, len(self.streams))
+        info0: dict = {}
         frames0, rate, nl, is34, ds = parse_stream_qwire(
-            self.streams[0], max_frames=max_frames)
+            self.streams[0], max_frames=max_frames, info_out=info0)
         # lane count comes from the parsed layout, not the header field
         # (configs 3-7 have more lanes than elements; config 0 none)
         self.nl = nl
+        # output lanes (CCE coupling sources ride extra non-output lanes)
+        self.out_nl = info0["out_nl"]
         counts = [_count_adts_frames(s) for s in self.streams]
         if max_frames is not None:
             counts = [min(c, max_frames) for c in counts]
@@ -736,6 +867,7 @@ class QwirePipelinedDecoder:
         self._bufsets = [None, None]
         self._cap = cap
         self._upload_w = None   # fixed f32 upload length (set by group 0)
+        self._cur_couple = None  # last-parsed group's AFTER_IMDCT edges
 
     def _buffers(self, bufset: int):
         if self._bufsets[bufset] is None:
@@ -770,6 +902,8 @@ class QwirePipelinedDecoder:
         cur = len(self._sil_payload)
         n_counts0 = len(self.frame_counts)
         err0 = self.error_count
+        couples: list = [None] * len(group)   # per-slot AFTER_IMDCT edges
+        self._cur_couple = None
         native_ok = native.available()
         if native_ok:
             # hoist ctypes marshaling out of the per-stream loop (the
@@ -808,10 +942,12 @@ class QwirePipelinedDecoder:
             log.info("qwire pipelined decode: stream %d fell back to the "
                      "Python planner", gi)
             errs: list = []
+            info: dict = {}
             frames_q, rate2, nl2, is34_2, ds2 = parse_stream_qwire(
-                data, max_frames=T, err_out=errs)
+                data, max_frames=T, err_out=errs, info_out=info)
             if n_real is None or gi < n_real:
                 self.error_count += errs[0]
+                couples[gi] = info.get("couple")
             if (rate2, nl2, is34_2, ds2) != (self.sample_rate, self.nl,
                                              self.is34, self.ds):
                 raise ValueError(
@@ -845,6 +981,7 @@ class QwirePipelinedDecoder:
                  if (mode == 1).any() else 0)
         if nbmax > self.NB:
             self.NB = nbmax
+        self._cur_couple = _flatten_couple(couples, self.nl, T)
         return heap, cur, recs
 
     def decode(self):
@@ -862,17 +999,28 @@ class QwirePipelinedDecoder:
 
         import jax
 
-        from .heaac_graph import init_qwire_carry, qwire_scan_decoder
+        from .heaac_graph import (init_qwire_carry, qwire_scan_decoder,
+                                  qwire_scan_decoder_couple)
 
-        def upload_and_dispatch(heap, cur, recs, Tg):
+        def upload_and_dispatch(heap, cur, recs, Tg, couple=None):
             if self._upload_w is None:
                 self._upload_w = min((cur + 3) // 4 + 65536, self._cap // 4)
             while (cur + 3) // 4 > self._upload_w:  # grow (rare)
                 self._upload_w = min(self._upload_w * 2, self._cap // 4)
-            run = qwire_scan_decoder(self.is34, self.ds, self.S,
-                                     self.rate_idx, self.NB)
             heap_w = heap[:self._upload_w * 4].view(np.float32)
             carry = init_qwire_carry(self.L)
+            if couple is not None:
+                run = qwire_scan_decoder_couple(self.is34, self.ds, self.S,
+                                                self.rate_idx, self.NB)
+                etgt, etch, esrc, gains = couple
+                _, pcm = run(jax.device_put(heap_w),
+                             jax.device_put(recs[:Tg].view(np.float32)),
+                             carry, jax.device_put(etgt),
+                             jax.device_put(etch), jax.device_put(esrc),
+                             jax.device_put(gains))
+                return pcm
+            run = qwire_scan_decoder(self.is34, self.ds, self.S,
+                                     self.rate_idx, self.NB)
             _, pcm = run(jax.device_put(heap_w),
                          jax.device_put(recs[:Tg].view(np.float32)), carry)
             return pcm
@@ -907,7 +1055,7 @@ class QwirePipelinedDecoder:
                     raise MemoryError("qwire heap kept overflowing")
                 heap, cur, recs = r
                 futs.append(pool.submit(upload_and_dispatch, heap, cur,
-                                        recs, Tg))
+                                        recs, Tg, self._cur_couple))
             outs = [f.result() for f in futs]
         jax.block_until_ready(outs[-1])
         # frame_counts were appended in sorted parse order; expose them in
@@ -1545,12 +1693,12 @@ def _decode_bucket(kind, group, idxs, streams, results):
         # wire heap, threaded upload overlap, grouped device scans
         bd = QwirePipelinedDecoder(group)
         outs = [np.asarray(o) for o in bd.decode()]
-        lps = bd.nl
+        lps = bd.out_nl                     # CCE lanes are non-output
         for j, i in enumerate(idxs):
             T_j = bd.frame_counts[j]
             # groups are length-bucketed: map through the sort permutation
             pcm = outs[bd.group_of[j]]
-            lane0 = bd.slot_of[j] * lps
+            lane0 = bd.slot_of[j] * bd.nl
             lanes = pcm[:T_j, lane0:lane0 + lps]
             if lps == 1:                     # mono->stereo (PS or dup)
                 results[i] = lanes[:, 0].transpose(0, 2, 1).reshape(-1, 2)

@@ -420,8 +420,16 @@ class Decoder:
         done = set()
         for lane in all_lanes:
             key = (lane.elem_type, lane.elem_id)
-            if key in done or key[0] == T.TYPE_CCE:
+            if key in done:
                 continue
+            if key[0] == T.TYPE_CCE:
+                el = self.elements[key]
+                # only AFTER_IMDCT CCEs run the filterbank + SBR (pure
+                # upsampling: their sbr ctx never starts); dependent CCEs
+                # feed targets pre-IMDCT and their ret is never read
+                # (aacdec.c:1919-1926)
+                if el.coup is None or el.coup.coupling_point != 3:
+                    continue
             done.add(key)
             el = self.elements[key]
             if not el.present_this_frame:

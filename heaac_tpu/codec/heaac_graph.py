@@ -258,6 +258,39 @@ def qwire_scan_decoder(is34: int, downsampled: int, S: int,
     return jax.jit(run, donate_argnums=(2,))
 
 
+@functools.cache
+def qwire_scan_decoder_couple(is34: int, downsampled: int, S: int,
+                              rate_idx: int = -1, NB: int = 0):
+    """qwire_scan_decoder with AFTER_IMDCT channel coupling: the scan
+    keeps float output, then the coupling mix adds gain * src-lane time
+    signal into each target (lane, stereo-sub) pair at the OUTPUT rate —
+    the reference applies apply_independent_coupling after ff_sbr_apply
+    on both the CCE (pure-upsampled) and target channels
+    (aacdec.c:1849-1862, 1919-1929) — and only then rounds to int16.
+
+    etgt/etch/esrc are [K] i32 edge arrays over the batch's lanes
+    ([K] target lane, target sub-channel 0|1, source CCE lane); gains is
+    [T, K] f32 (per-frame cc gains, 0 when the CCE is absent)."""
+
+    def run(heap_w, rec_w, carry, etgt, etch, esrc, gains):
+        heap, rec_seq, coeffs = _qwire_decode_all_coeffs(
+            heap_w, rec_w, S, rate_idx, NB)
+
+        def body(c, xs):
+            rec_t, coef_t = xs
+            pcm, c2 = heaac_frame_qwire(coef_t, rec_t, heap, c, is34,
+                                        downsampled)
+            return c2, pcm
+
+        carry, pcm = jax.lax.scan(body, carry, (rec_seq, coeffs))
+        add = gains[:, :, None] * pcm[:, esrc, 0]       # [T, K, N]
+        pcm = pcm.at[:, etgt, etch].add(add)
+        return carry, jnp.clip(jnp.rint(pcm), -32768, 32767)\
+            .astype(jnp.int16)
+
+    return jax.jit(run, donate_argnums=(2,))
+
+
 def _convert_ps_flip(state: HeaacState, ph: dict, to34, to20):
     """Per-lane PS band-mode transition fixup, the reference's
     aacps.c:829-860 (H row-0 map_val + ipd/opd history reset) plus the

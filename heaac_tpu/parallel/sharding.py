@@ -125,6 +125,12 @@ class ShardedQwireDecoder:
             else:
                 raise MemoryError("qwire heap kept overflowing")
             heap, cur, recs = r
+            if dec._cur_couple is not None:
+                # AFTER_IMDCT CCE streams need the couple-variant graph;
+                # route them through decode_batch (single-host) instead
+                raise NotImplementedError(
+                    "AFTER_IMDCT CCE streams are not supported on the "
+                    "sharded qwire path — use decode_batch")
             if dec._upload_w is None:
                 dec._upload_w = min((cur + 3) // 4 + 65536, dec._cap // 4)
             while (cur + 3) // 4 > dec._upload_w:  # grow (rare): a later

@@ -198,6 +198,48 @@ def test_batch_cce_coupling(point, ref_harness, stream_factory, tmp_path,
 
 
 @pytest.mark.golden
+@pytest.mark.parametrize("point", ["before", "after"])
+def test_batch_cce_coupling_sbr(point, ref_harness, tmp_path, caplog):
+    """HE (SBR) + CCE through decode_batch stays BATCHED for every
+    coupling point.  The reference applies AFTER_IMDCT coupling at the
+    2x output rate after ff_sbr_apply on both the pure-upsampled CCE
+    channel and the targets (aacdec.c:1919-1929); the qwire path
+    expresses this as extra CCE lanes through the full scan plus a
+    post-scan device mix (qwire_scan_decoder_couple)."""
+    import logging
+    import subprocess
+
+    from heaac_tpu.bitstream.aac_syntax import T as TT
+    from heaac_tpu.codec.batch import decode_batch
+    from heaac_tpu.io.heaac_testgen import (SbrStreamWriter,
+                                            splice_cce_into_lc,
+                                            splice_sbr_multi)
+
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 12)
+    cce = splice_cce_into_lc(core, coupling_point=point)
+    w = SbrStreamWriter(core_rate=24000, is_cpe=False, env_hi_shift=-12,
+                        seed=3, invf_modes=(0,))
+    he = splice_sbr_multi(cce, {(TT.TYPE_SCE, 0): w})
+    p = tmp_path / "hc.aac"
+    p.write_bytes(he)
+    g = tmp_path / "hc.gold"
+    subprocess.run([ref_harness["decode"], str(p), str(g)], check=True,
+                   capture_output=True)
+    gold = np.fromfile(g, np.int16).reshape(-1, 2)
+    with caplog.at_level(logging.WARNING, logger="heaac_tpu"):
+        outs = decode_batch([he, he])
+    falls = [r for r in caplog.records
+             if "single-stream decoder" in r.getMessage()]
+    assert not falls, f"HE CCE {point} demoted to single-stream: {falls}"
+    for out in outs:
+        assert out.shape[1] == 2
+        n = min(len(out), len(gold))
+        assert n > 20000
+        d = np.abs(out[:n].astype(int) - gold[:n].astype(int)).max()
+        assert d <= 2, f"HE CCE {point} batch-vs-reference max LSB {d}"
+
+
+@pytest.mark.golden
 def test_heterogeneous_decode_batch(ref_harness):
     """decode_batch buckets mixed-profile streams and matches the
     single-stream decoder on every lane."""

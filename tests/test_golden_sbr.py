@@ -228,6 +228,40 @@ def test_sbr_downsampled(ref_harness, tmp_path):
 
 @pytest.mark.golden
 @pytest.mark.parametrize("cp", ["before", "after"])
+def test_cce_coupling_sbr(cp, ref_harness, tmp_path):
+    """CCE inside an HE-AAC (SBR) stream: dependent coupling applies on
+    the core spectra before SBR; AFTER_IMDCT coupling applies at the 2x
+    output rate AFTER ff_sbr_apply pure-upsamples the CCE channel
+    (aacdec.c:1919-1929).  The reference upgrades mono SBR output to
+    stereo (implicit PS) and couples only the L channel (SCE targets
+    have ch_select==2, aacdec.c:1523)."""
+    import subprocess
+
+    from heaac_tpu.bitstream.aac_syntax import T as TT
+    from heaac_tpu.io.heaac_testgen import (SbrStreamWriter,
+                                            splice_cce_into_lc,
+                                            splice_sbr_multi)
+
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 12)
+    cce = splice_cce_into_lc(core, coupling_point=cp)
+    w = SbrStreamWriter(core_rate=24000, is_cpe=False, env_hi_shift=-12,
+                        seed=3, invf_modes=(0,))
+    he = splice_sbr_multi(cce, {(TT.TYPE_SCE, 0): w})
+    p = tmp_path / "hc.aac"
+    p.write_bytes(he)
+    g = tmp_path / "hc.gold"
+    subprocess.run([ref_harness["decode"], str(p), str(g)], check=True,
+                   capture_output=True)
+    gold = np.fromfile(g, np.int16).reshape(-1, 2)
+    pcm, rate = decode_adts(he)
+    assert rate == 48000 and pcm.shape[1] == 2
+    n = min(len(pcm), len(gold))
+    d = np.abs(pcm[:n].astype(int) - gold[:n].astype(int))
+    assert d.max() <= 2, f"max LSB {d.max()}"
+
+
+@pytest.mark.golden
+@pytest.mark.parametrize("cp", ["before", "after"])
 def test_cce_coupling(cp, ref_harness, tmp_path):
     """Channel coupling element via a PCE-configured stream (config 0):
     dependent (BEFORE_TNS) and independent (AFTER_IMDCT) coupling."""
