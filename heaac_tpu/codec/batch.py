@@ -912,8 +912,13 @@ class QwirePipelinedDecoder:
             fn = L.hh_parse_he_stream_qwire
             heap_p = heap.ctypes.data_as(C.POINTER(C.c_uint8))
             recs_p = recs.ctypes.data_as(C.POINTER(C.c_int32))
-            info = np.zeros(4, np.int32)
+            info = np.zeros(8, np.int32)
             info_p = info.ctypes.data_as(C.POINTER(C.c_int32))
+            cedges = np.zeros(native.EDGE_MAX * 3, np.int32)
+            cgains = np.zeros((T, native.EDGE_MAX), np.float32)
+            cedges_p = cedges.ctypes.data_as(C.POINTER(C.c_int32))
+            cgains_p = cgains.ctypes.data_as(C.POINTER(C.c_float))
+            edges_dirty = False
             cur_c = C.c_int64(cur)
             cur_ref = C.byref(cur_c)
             si, sr = self.hdr.sampling_index, self.hdr.sample_rate
@@ -921,20 +926,35 @@ class QwirePipelinedDecoder:
         for gi, data in enumerate(group):
             lane0 = gi * self.nl
             if native_ok:
+                if edges_dirty:
+                    # gains are written sparsely (only where a CCE is
+                    # present); clear the previous stream's residue
+                    cgains[:] = 0
+                    edges_dirty = False
                 nf = fn(data, len(data), si, sr, cc, heap_p, heap.nbytes,
-                        cur_ref, recs_p, T, stride, lane0, info_p)
+                        cur_ref, recs_p, T, stride, lane0, info_p,
+                        cedges_p, cgains_p, native.EDGE_MAX)
                 if nf >= 0 and int(info[0]) != self.nl:
                     nf = -1  # layout mismatch: python fallback below
                 if nf >= 0:
                     cur = int(cur_c.value)
                     if n_real is None or gi < n_real:
                         self.error_count += int(info[3])
+                    ne = int(info[4])
+                    if ne and (n_real is None or gi < n_real):
+                        struct = [tuple(int(x) for x in
+                                        cedges[k * 3:k * 3 + 3])
+                                  for k in range(ne)]
+                        couples[gi] = (struct, cgains[:nf, :ne].copy())
+                    if ne:
+                        edges_dirty = True
                     self.frame_counts.append(nf)
                     if nf < T:
                         recs[nf:T, lane0:lane0 + self.nl] = \
                             self._sil_recs[nf:T, lane0:lane0 + self.nl]
                     continue
                 cur_c.value = cur  # rewind any partial native writes
+                edges_dirty = True  # a bailed CCE parse may have written
                 if nf == -3:      # heap overflow: grow + retry the group
                     del self.frame_counts[n_counts0:]
                     self.error_count = err0

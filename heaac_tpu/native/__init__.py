@@ -83,7 +83,8 @@ def lib():
     L.hh_parse_he_stream_qwire.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
-        i32p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64, i32p]
+        i32p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64, i32p, i32p,
+        f32p, ctypes.c_int]
     L.ht_init()
     _lib = L
     return L
@@ -318,6 +319,9 @@ def parse_he_stream_packed_into(data: bytes, sampling_index: int,
                    is34=int(info[2]), err_frames=int(info[3]))
 
 
+EDGE_MAX = 24   # AFTER_IMDCT coupling edges per stream (he_host.inc)
+
+
 def parse_he_stream_qwire_into(data: bytes, sampling_index: int,
                                core_rate: int, chan_config: int,
                                heap: np.ndarray, heap_cur: int,
@@ -328,22 +332,33 @@ def parse_he_stream_qwire_into(data: bytes, sampling_index: int,
     (u8, 1-D) starting at byte ``heap_cur``; 8-word records written into
     ``recs`` [T, L, 8] i32 at lane offset ``lane0``.  Returns
     (n_frames, new_heap_cur, info) or None for Python-fallback streams
-    (also on native heap overflow)."""
+    (also on native heap overflow).  info["couple"] carries a stream's
+    AFTER_IMDCT CCE edge structure + per-frame gains (or None)."""
     import ctypes as C
     L = lib()
-    info = np.zeros(4, np.int32)
+    info = np.zeros(8, np.int32)
+    cedges = np.zeros(EDGE_MAX * 3, np.int32)
+    cgains = np.zeros((max_frames, EDGE_MAX), np.float32)
     cur = C.c_int64(heap_cur)
     r = L.hh_parse_he_stream_qwire(
         data, len(data), sampling_index, core_rate, chan_config,
         heap.ctypes.data_as(C.POINTER(C.c_uint8)), heap.nbytes,
         C.byref(cur), recs.ctypes.data_as(C.POINTER(C.c_int32)),
         max_frames, recs.shape[1], lane0,
-        info.ctypes.data_as(C.POINTER(C.c_int32)))
+        info.ctypes.data_as(C.POINTER(C.c_int32)),
+        cedges.ctypes.data_as(C.POINTER(C.c_int32)),
+        cgains.ctypes.data_as(C.POINTER(C.c_float)), EDGE_MAX)
     if r < 0:
         return None
+    ne = int(info[4])
+    couple = None
+    if ne:
+        struct = [tuple(int(x) for x in cedges[k * 3:k * 3 + 3])
+                  for k in range(ne)]
+        couple = (struct, cgains[:r, :ne].copy())
     return r, int(cur.value), dict(lanes=int(info[0]), sbr=int(info[1]),
                                    is34=int(info[2]),
-                                   err_frames=int(info[3]))
+                                   err_frames=int(info[3]), couple=couple)
 
 
 
@@ -363,13 +378,13 @@ def probe_he_stream(data: bytes, sampling_index: int, core_rate: int,
     L = lib()
     heap = np.zeros(1 << 16, np.uint8)
     recs = np.zeros((2, 8, 4), np.int32)
-    info = np.zeros(4, np.int32)
+    info = np.zeros(8, np.int32)
     cur = C.c_int64(0)
     r = L.hh_parse_he_stream_qwire(
         data, min(len(data), 1 << 14), sampling_index, core_rate,
         chan_config, heap.ctypes.data_as(C.POINTER(C.c_uint8)), heap.nbytes,
         C.byref(cur), recs.ctypes.data_as(C.POINTER(C.c_int32)),
-        2, 8, 0, info.ctypes.data_as(C.POINTER(C.c_int32)))
+        2, 8, 0, info.ctypes.data_as(C.POINTER(C.c_int32)), None, None, 0)
     if r < 0:
         return None
     return dict(lanes=int(info[0]), sbr=int(info[1]), is34=int(info[2]))

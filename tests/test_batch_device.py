@@ -226,11 +226,18 @@ def test_batch_cce_coupling_sbr(point, ref_harness, tmp_path, caplog):
     subprocess.run([ref_harness["decode"], str(p), str(g)], check=True,
                    capture_output=True)
     gold = np.fromfile(g, np.int16).reshape(-1, 2)
-    with caplog.at_level(logging.WARNING, logger="heaac_tpu"):
+    with caplog.at_level(logging.INFO, logger="heaac_tpu"):
         outs = decode_batch([he, he])
     falls = [r for r in caplog.records
              if "single-stream decoder" in r.getMessage()]
     assert not falls, f"HE CCE {point} demoted to single-stream: {falls}"
+    if point == "after":
+        # independent (point 3) CCE parses through the NATIVE front-end
+        # (hh_parse_cce); only dependent coupling may use the Python
+        # planner (spectral modification relative to TNS)
+        planner = [r for r in caplog.records
+                   if "Python planner" in r.getMessage()]
+        assert not planner, f"point-3 CCE left the native path: {planner}"
     for out in outs:
         assert out.shape[1] == 2
         n = min(len(out), len(gold))
