@@ -99,7 +99,9 @@ class ShardedQwireDecoder:
         self._sh_lane = NamedSharding(self.mesh, P("dp"))
 
     def decode(self):
-        from ..codec.heaac_graph import init_qwire_carry, qwire_scan_decoder
+        from ..codec.heaac_graph import (init_qwire_carry,
+                                         qwire_scan_decoder,
+                                         qwire_scan_decoder_couple)
 
         dec = self.inner
         run = None
@@ -125,26 +127,34 @@ class ShardedQwireDecoder:
             else:
                 raise MemoryError("qwire heap kept overflowing")
             heap, cur, recs = r
-            if dec._cur_couple is not None:
-                # AFTER_IMDCT CCE streams need the couple-variant graph;
-                # route them through decode_batch (single-host) instead
-                raise NotImplementedError(
-                    "AFTER_IMDCT CCE streams are not supported on the "
-                    "sharded qwire path — use decode_batch")
             if dec._upload_w is None:
                 dec._upload_w = min((cur + 3) // 4 + 65536, dec._cap // 4)
             while (cur + 3) // 4 > dec._upload_w:  # grow (rare): a later
                 # group's heap cursor can exceed group 0's sizing estimate
                 dec._upload_w = min(dec._upload_w * 2, dec._cap // 4)
-            run = qwire_scan_decoder(dec.is34, dec.ds, dec.S,
-                                     dec.rate_idx, dec.NB)
             heap_w = jax.device_put(
                 heap[:dec._upload_w * 4].view(np.float32), self._sh_rep)
             rec_w = jax.device_put(recs[:Tg].view(np.float32), self._sh_rec)
             carry = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, self._sh_lane),
                 init_qwire_carry(dec.L))
-            _, pcm = run(heap_w, rec_w, carry)
+            if dec._cur_couple is not None:
+                # AFTER_IMDCT CCE: the post-scan mix gathers the CCE
+                # source lane, which may live on another shard — the
+                # edge arrays are tiny and replicated; XLA inserts the
+                # collective for the cross-shard gather
+                run = qwire_scan_decoder_couple(dec.is34, dec.ds, dec.S,
+                                                dec.rate_idx, dec.NB)
+                etgt, etch, esrc, gains = dec._cur_couple
+                _, pcm = run(heap_w, rec_w, carry,
+                             jax.device_put(etgt, self._sh_rep),
+                             jax.device_put(etch, self._sh_rep),
+                             jax.device_put(esrc, self._sh_rep),
+                             jax.device_put(gains, self._sh_rep))
+            else:
+                run = qwire_scan_decoder(dec.is34, dec.ds, dec.S,
+                                         dec.rate_idx, dec.NB)
+                _, pcm = run(heap_w, rec_w, carry)
             outs.append(pcm)
         jax.block_until_ready(outs[-1])
         by_orig = [0] * n

@@ -329,6 +329,41 @@ def test_sharded_qwire_decoder(ref_harness):
     assert d.max() <= 1, f"sharded-vs-unsharded max LSB {d.max()}"
 
 
+@pytest.mark.golden
+def test_sharded_qwire_cce(ref_harness, tmp_path):
+    """AFTER_IMDCT CCE over the dp mesh: the couple-variant scan's
+    post-scan mix gathers the CCE source lane cross-shard; output must
+    match the reference like the unsharded path."""
+    import subprocess
+
+    from heaac_tpu.bitstream.aac_syntax import T as TT
+    from heaac_tpu.io.heaac_testgen import (SbrStreamWriter,
+                                            splice_cce_into_lc,
+                                            splice_sbr_multi)
+    from heaac_tpu.parallel.sharding import ShardedQwireDecoder, make_mesh
+
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 12)
+    cce = splice_cce_into_lc(core, coupling_point="after")
+    w = SbrStreamWriter(core_rate=24000, is_cpe=False, env_hi_shift=-12,
+                        seed=3, invf_modes=(0,))
+    he = splice_sbr_multi(cce, {(TT.TYPE_SCE, 0): w})
+    p = tmp_path / "sc.aac"
+    p.write_bytes(he)
+    g = tmp_path / "sc.gold"
+    subprocess.run([ref_harness["decode"], str(p), str(g)], check=True,
+                   capture_output=True)
+    gold = np.fromfile(g, np.int16).reshape(-1, 2)
+    streams = [he] * 4                       # 2 lanes each -> 8 lanes
+    sh = ShardedQwireDecoder(streams, mesh=make_mesh(8), group_streams=4)
+    pcm = np.asarray(sh.decode()[0])         # [T, 8, 2, 2048]
+    for b in range(4):
+        out = pcm[:, b * 2].transpose(0, 2, 1).reshape(-1, 2)
+        n = min(len(out), len(gold))
+        assert n > 20000
+        d = np.abs(out[:n].astype(int) - gold[:n].astype(int)).max()
+        assert d <= 2, f"sharded CCE stream {b} max LSB {d}"
+
+
 def test_decode_batch_bisect_isolates_offender(ref_harness, monkeypatch):
     """One stream the batched path cannot handle must demote only itself;
     the rest of its bucket stays on the batched path (VERDICT r2 #6)."""
