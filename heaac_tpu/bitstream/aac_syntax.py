@@ -448,11 +448,9 @@ def decode_ics(br: BitReader, cd: ChannelData, sampling_index: int,
     cd.coeffs = decode_spectrum_and_dequant(br, cd.sf, ics, cd.band_type,
                                             rng, bandpos)
     # the raw-bits wire mode is only valid when nothing rewrites the
-    # decoded spectrum after the VLC loop and the bin layout is the
-    # non-interleaved long-window one (EIGHT_SHORT interleaves groups
-    # even when all windows share one group)
-    clean = (pulse is None and not cd.tns.present
-             and ics.window_sequence != T.EIGHT_SHORT)
+    # decoded spectrum after the VLC loop (EIGHT_SHORT frames ship a
+    # grouping byte and the device de-interleaves, ops/spec_huff.py)
+    clean = (pulse is None and not cd.tns.present)
     cd.spec_bandpos = bandpos if clean else None
     cd.pulse_present = pulse is not None
     if pulse is not None:

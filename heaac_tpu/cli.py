@@ -62,6 +62,15 @@ def probe(data: bytes) -> dict:
 
 
 def main(argv=None) -> int:
+    # HEAAC_PLATFORM=cpu pins the backend (CI runs the CLI as a
+    # subprocess, where the axon site hook would otherwise pick the TPU
+    # and hang if the tunnel is down; env vars alone don't override it —
+    # the config update after import does)
+    import os
+    plat = os.environ.get("HEAAC_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     ap = argparse.ArgumentParser(prog="tpuaac")
     ap.add_argument("-i", "--input", required=True, help="input ADTS file")
     ap.add_argument("output", nargs="?", default=None,

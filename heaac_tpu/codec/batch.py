@@ -420,56 +420,106 @@ class QwirePlanningDecoder(Decoder):
         finally:
             syn.CAPTURE_SPEC = prev
 
-    def _try_spec_block(self, cd):
-        """Raw-bits spec block for a clean long-window lane, or None.
+    def _try_spec_block(self, cd, ms_mask=None):
+        """Raw-bits spec block for a clean lane, or None.
 
         Eligible when nothing modifies the decoded spectrum after the
-        VLC loop: LC object, single window group, no pulses/TNS, no
-        noise/intensity bands, no channel coupling in the stream."""
+        VLC loop: LC object, no pulses/TNS, no noise/intensity bands, no
+        channel coupling in the stream.  EIGHT_SHORT frames ship a
+        grouping byte and (group, sfb)-ordered sections (W3_SHORT); the
+        device de-interleaves.  ``ms_mask`` (per-sfb, length max_sfb)
+        rides the block for CPE pairs whose M/S butterfly moves to the
+        device (the raw bits are PRE-M/S; see _try_spec_cpe) — long
+        windows only."""
         from . import qwire
         from ..ops import spec_huff as SH
         ics = cd.ics
+        is8 = ics.window_sequence == T.EIGHT_SHORT
         # bandpos is only captured for clean lanes (decode_ics: no
-        # pulses/TNS, not EIGHT_SHORT) — the checks here are belt and
-        # braces since TNS is applied+cleared before this point
+        # pulses/TNS) — the checks here are belt and braces since TNS is
+        # applied+cleared before this point
         bp = getattr(cd, "spec_bandpos", None)
-        if (self.m4ac.object_type != 2 or ics.num_window_groups != 1
-                or ics.window_sequence == T.EIGHT_SHORT or not bp
+        if (self.m4ac.object_type != 2 or not bp
+                or (not is8 and ics.num_window_groups != 1)
+                or (is8 and ms_mask is not None)
                 or getattr(cd, "pulse_present", False)):
             return None
         if any(et == T.TYPE_CCE for (et, _) in self.elements):
             return None
-        bt = np.asarray(cd.band_type[:ics.max_sfb])
-        if ics.max_sfb and (bt > 11).any():
+        nbands = ics.num_window_groups * ics.max_sfb
+        bt = np.asarray(cd.band_type[:nbands])
+        if nbands and (bt > 11).any():
             return None
         nbits = bp[-1] - bp[0]
         if nbits >= (1 << 13):
             return None
         secs, sf_idx = [], []
-        i = 0
-        while i < ics.max_sfb:
-            cb = int(bt[i])
-            j = i
-            while j < ics.max_sfb and int(bt[j]) == cb:
-                j += 1
-            blen = bp[j] - bp[i]
-            if blen >= (1 << 14):
-                return None
-            secs.append((cb, j - i, blen))
-            if cb >= 1:
-                for f in range(i, j):
-                    idx = qwire.sfidx_from_sf(cd.sf[f])
-                    if idx is None:
-                        return None
-                    sf_idx.append(idx)
-            i = j
+        for grp in range(ics.num_window_groups):
+            i = 0
+            while i < ics.max_sfb:   # runs never cross a group boundary
+                b0 = grp * ics.max_sfb + i
+                cb = int(bt[b0])
+                j = i
+                while j < ics.max_sfb \
+                        and int(bt[grp * ics.max_sfb + j]) == cb:
+                    j += 1
+                blen = bp[grp * ics.max_sfb + j] - bp[b0]
+                if blen >= (1 << 14):
+                    return None
+                secs.append((cb, j - i, blen))
+                if cb >= 1:
+                    for f in range(i, j):
+                        idx = qwire.sfidx_from_sf(
+                            cd.sf[grp * ics.max_sfb + f])
+                        if idx is None:
+                            return None
+                        sf_idx.append(idx)
+                i = j
         if len(secs) > SH.SEC_MAX:
             return None
         for a, b in zip(sf_idx[:-1], sf_idx[1:]):
             if not SH.SF_D_LO <= b - a <= SH.SF_D_HI:
                 return None
         bits = qwire.extract_bits(self._cur_packet, bp[0], bp[-1])
-        return SH.pack_spec_block(secs, sf_idx, bits, nbits)
+        grouping = None
+        if is8:
+            # bit (7-w) set iff window w shares window w-1's group
+            grouping = 0
+            w = 0
+            for g in range(ics.num_window_groups):
+                for r in range(ics.group_len[g]):
+                    if r >= 1:
+                        grouping |= 1 << (7 - w)
+                    w += 1
+        return SH.pack_spec_block(secs, sf_idx, bits, nbits,
+                                  ms_mask=ms_mask, grouping=grouping)
+
+    def _try_spec_cpe(self, el):
+        """Spec blocks for a CPE's two channels, each entry None when
+        that channel must ship tokens.
+
+        Without effective M/S the channels are independent raw-bits
+        lanes (intensity in ch1 only reads ch0, whose raw bits decode to
+        its final values).  With effective M/S the raw bits predate the
+        butterfly (aacdec.c:1390), so spec mode requires BOTH channels
+        eligible: the mask ships on the left lane and the device applies
+        the pair butterfly (W3_MS_LEFT/RIGHT)."""
+        from ..ops import spec_huff as SH
+        ch0, ch1 = el.cur[0], el.cur[1]
+        nmask = ch0.ics.num_window_groups * ch0.ics.max_sfb
+        mask = (np.asarray(el.ms_mask[:nmask])
+                if el.ms_mask is not None else np.zeros(0, np.int32))
+        bt0 = np.asarray(ch0.band_type[:nmask])
+        bt1 = np.asarray(ch1.band_type[:nmask])
+        eff = mask.astype(bool) & (bt0 < 13) & (bt1 < 13)
+        if eff.any():
+            s0 = self._try_spec_block(ch0, ms_mask=eff.astype(np.int32))
+            s1 = self._try_spec_block(ch1)
+            if s0 is None or s1 is None:
+                return (None, None)
+            return ((s0[0], s0[1] | SH.W3_MS_LEFT),
+                    (s1[0], s1[1] | SH.W3_MS_RIGHT))
+        return (self._try_spec_block(ch0), self._try_spec_block(ch1))
 
     def _spectral_to_sample(self, present):
         from ..bitstream.sbr_syntax import SBRContext
@@ -491,8 +541,14 @@ class QwirePlanningDecoder(Decoder):
             meta = dict(ws=int(cd.ics.window_sequence),
                         kbd=int(cd.ics.use_kb_window))
             spec = None
-            if lane.elem_type == T.TYPE_SCE:
+            if lane.elem_type == T.TYPE_SCE and el.present_this_frame:
+                # presence gate: an absent element's spec_bandpos is the
+                # previous frame's and would slice the WRONG packet
                 spec = self._try_spec_block(cd)
+            elif lane.elem_type == T.TYPE_CPE and el.present_this_frame:
+                if lane.ch == 0:
+                    self._cpe_pair = self._try_spec_cpe(el)
+                spec = self._cpe_pair[lane.ch]
             if spec is None:
                 coeffs = cd.coeffs
                 if coeffs is None or not el.present_this_frame:
@@ -687,6 +743,10 @@ class QStreamBatchDecoder:
         # section-map bytes get token-decoded as garbage
         self.NB = (max(256, -(-int(nb.max()) // 256) * 256)
                    if (mode == 1).any() else 0)
+        self.MS = int(((recs[:, :, qwire.R_W3] >> 28) & 3)
+                      [mode == 1].any())
+        self.NS = (128 if ((recs[:, :, qwire.R_W3] >> 30) & 1)
+                   [mode == 1].any() else 52)
         self.rate_idx = parse_adts_header(
             BitReader(bytes(streams[0][:7]))).sampling_index
         self.heap_w = np.frombuffer(bytes(heap), np.float32)
@@ -707,7 +767,8 @@ class QStreamBatchDecoder:
         carry = init_qwire_carry(self.L)
         if self._couple is not None:
             run = qwire_scan_decoder_couple(self.is34, self.ds, self.S,
-                                            self.rate_idx, self.NB)
+                                            self.rate_idx, self.NB,
+                                            self.MS, self.NS)
             etgt, etch, esrc, gains = self._couple
             _, pcm = run(jax.device_put(self.heap_w),
                          jax.device_put(self.rec_w), carry,
@@ -715,7 +776,7 @@ class QStreamBatchDecoder:
                          jax.device_put(esrc), jax.device_put(gains))
             return pcm
         run = qwire_scan_decoder(self.is34, self.ds, self.S,
-                                 self.rate_idx, self.NB)
+                                 self.rate_idx, self.NB, self.MS, self.NS)
         _, pcm = run(jax.device_put(self.heap_w),
                      jax.device_put(self.rec_w), carry)
         return pcm
@@ -766,8 +827,10 @@ def decode_qwire_flip_stream(data: bytes,
     nb = (recs[:, :, qwire.R_W3] & 0x1FFF) * (mode == 1)
     NB = (max(256, -(-int(nb.max()) // 256) * 256)
           if (mode == 1).any() else 0)
+    NS = (128 if ((recs[:, :, qwire.R_W3] >> 30) & 1)[mode == 1].any()
+          else 52)
     rate_idx = parse_adts_header(BitReader(bytes(data[:7]))).sampling_index
-    run = qwire_scan_decoder_flip(ds, S, rate_idx, NB)
+    run = qwire_scan_decoder_flip(ds, S, rate_idx, NB, NS)
     carry = init_qwire_flip_carry(nl)
     _, pcm = run(jax.device_put(np.frombuffer(bytes(heap), np.float32)),
                  jax.device_put(recs.view(np.float32)), carry)
@@ -851,6 +914,8 @@ class QwirePipelinedDecoder:
         self.sample_rate, self.is34, self.ds = rate, is34, ds
         self.S = token_cap
         self.NB = 0              # raw-bits window (grows per parsed group)
+        self.MS = 0              # any device-M/S spec pairs seen so far
+        self.NS = 52             # band-axis width (128 once shorts seen)
         self.rate_idx = hdr.sampling_index
         self.L = self.G * self.nl
         self.frame_counts: list = []
@@ -1001,6 +1066,10 @@ class QwirePipelinedDecoder:
                  if (mode == 1).any() else 0)
         if nbmax > self.NB:
             self.NB = nbmax
+        if ((recs[:T, :, qwire.R_W3] >> 28) & 3)[mode == 1].any():
+            self.MS = 1
+        if ((recs[:T, :, qwire.R_W3] >> 30) & 1)[mode == 1].any():
+            self.NS = 128
         self._cur_couple = _flatten_couple(couples, self.nl, T)
         return heap, cur, recs
 
@@ -1031,7 +1100,8 @@ class QwirePipelinedDecoder:
             carry = init_qwire_carry(self.L)
             if couple is not None:
                 run = qwire_scan_decoder_couple(self.is34, self.ds, self.S,
-                                                self.rate_idx, self.NB)
+                                                self.rate_idx, self.NB,
+                                                self.MS, self.NS)
                 etgt, etch, esrc, gains = couple
                 _, pcm = run(jax.device_put(heap_w),
                              jax.device_put(recs[:Tg].view(np.float32)),
@@ -1040,7 +1110,8 @@ class QwirePipelinedDecoder:
                              jax.device_put(gains))
                 return pcm
             run = qwire_scan_decoder(self.is34, self.ds, self.S,
-                                     self.rate_idx, self.NB)
+                                     self.rate_idx, self.NB, self.MS,
+                                     self.NS)
             _, pcm = run(jax.device_put(heap_w),
                          jax.device_put(recs[:Tg].view(np.float32)), carry)
             return pcm

@@ -133,7 +133,25 @@ class Decoder:
             if not hdr.crc_absent:
                 br.skip(16)
 
-        frame_elements = self._parse_raw_data_block(br)
+        # the first frame parses with the Python element parser: a
+        # dependent (point 0/1) CCE needs un-TNS'd target spectra for the
+        # BEFORE_TNS add, and the native per-element engine applies TNS
+        # in-parse — discovery-after-the-fact would leave THIS frame
+        # decoded in the wrong order (aacdec.c spectral_to_sample).
+        # Native parsing resumes from frame 1 unless such a CCE exists.
+        first = not self.locked
+        native_saved = self.use_native
+        if first:
+            self.use_native = False
+        try:
+            frame_elements = self._parse_raw_data_block(br)
+        finally:
+            if first:
+                dep = any(
+                    et == T.TYPE_CCE and el.coup is not None
+                    and el.coup.coupling_point < 3
+                    for (et, _), el in self.elements.items())
+                self.use_native = native_saved and not dep
         out = self._spectral_to_sample(frame_elements)
         self.locked = True
         return out

@@ -513,9 +513,14 @@ class AacEncoder:
     def __init__(self, sample_rate: int, channels: int, qstep: int = 28,
                  object_type: int = 2, bitrate: int | None = None,
                  window_switching: bool = True,
-                 tns_inject: dict | None = None, coder: str = "twoloop"):
+                 tns_inject: dict | None = None, coder: str = "twoloop",
+                 ms: bool = False, intensity: bool = False):
         if channels not in (1, 2):
             raise ValueError("mono or stereo only")
+        if (ms or intensity) and (channels != 2 or object_type != 2):
+            raise ValueError("stereo tools need a stereo LC stream")
+        self.ms = ms
+        self.intensity = intensity
         if coder not in ("twoloop", "anmr"):
             raise ValueError("coder must be 'twoloop' or 'anmr'")
         self.coder = coder
@@ -694,7 +699,54 @@ class AacEncoder:
                 qs[b] = np.clip(_quantize(bands[b], int(sfs[b]), sf_bias),
                                 -MAX_QUANT, MAX_QUANT)
                 cbs[b] = _codebook_for(qs[b])
-        global_gain = int(sfs[coded[0]]) if len(coded) else 100
+
+        # codebook run trellis per window group: jointly minimal
+        # section_data run bits + spectral bits over the FIXED q values
+        # (encode_window_bands_info, aaccoder.c:258-357).  Per-band-
+        # cheapest codebooks alternate every band and bloat section runs
+        # (and overflow the wire's 24-section spec-mode bound).
+        _, sf_bits_t = _sf_vlc_enc()
+        sf0 = int(sf_bits_t[60])
+        nbands = len(bands)
+        nb, ngroups, is8 = an["nb"], an["ngroups"], an["is8"]
+        band_cost = np.full((nbands, 12), float(_BITS_INF))
+        had_sf = cbs != 0
+        for i in range(nbands):
+            q = qs[i]
+            amax = int(np.abs(q).max()) if len(q) else 0
+            if amax > 0:
+                for cb in range(1, 12):
+                    lav = T.CODEBOOK_INFO[cb][1]
+                    if amax <= lav or cb == 11:
+                        band_cost[i, cb] = _band_bits(q, cb)
+            else:
+                band_cost[i, 0] = 0.0
+                for cb in range(1, 12):
+                    band_cost[i, cb] = _zero_band_bits(len(q), cb) + sf0
+        for g in range(ngroups):
+            cbs[g * nb:(g + 1) * nb] = _codebook_run_trellis(
+                band_cost[g * nb:(g + 1) * nb], is8)
+        # promoted all-zero bands ride the previous coded band's
+        # scalefactor (delta 0); demoted bands drop their sf
+        last = None
+        for i in range(nbands):
+            if cbs[i] == 0:
+                sfs[i] = 0
+                continue
+            if had_sf[i]:
+                last = int(sfs[i])
+            elif last is not None:
+                sfs[i] = last
+        first = next((i for i in range(nbands) if cbs[i]), None)
+        if first is not None and not had_sf[first]:
+            nxt = next((int(sfs[i]) for i in range(first, nbands)
+                        if cbs[i] and had_sf[i]), 100)
+            for i in range(first, nbands):
+                if cbs[i] and not had_sf[i]:
+                    sfs[i] = nxt
+                elif had_sf[i]:
+                    break
+        global_gain = (int(sfs[first]) if first is not None else 100)
         bits = self._count_ics_bits(an, sfs, qs, cbs, global_gain)
         return dict(sfs=sfs, qs=qs, cbs=cbs, global_gain=global_gain,
                     bits=bits)
@@ -959,15 +1011,8 @@ class AacEncoder:
         gg = int(sfs[coded[0]]) if len(coded) else 100
         return dict(sfs=sfs, qs=qs, cbs=cbs, global_gain=gg, bits=bits)
 
-    def _emit_ics(self, bw: BitWriter, an: dict, co: dict,
-                  update_state: bool) -> None:
+    def _emit_ics_info(self, bw: BitWriter, an: dict) -> None:
         nb, ngroups, is8 = an["nb"], an["ngroups"], an["is8"]
-        sfs, qs, cbs = co["sfs"], co["qs"], co["cbs"]
-        if self.object_type == 1 and is8 and update_state:
-            # decoder resets all predictors on short frames
-            # (aac_syntax.apply_prediction EIGHT_SHORT branch)
-            self._pred_state[an["ch"]] = self._syn.new_predictor_state()
-        bw.put(8, co["global_gain"])
         bw.put1(0)          # reserved
         bw.put(2, an["ws"])
         bw.put1(0)          # use_kb_window = sine
@@ -990,6 +1035,25 @@ class AacEncoder:
                     bw.put1(int(an["pred_used"][sfb]))
             else:
                 bw.put1(0)
+
+    def _emit_ics(self, bw: BitWriter, an: dict, co: dict,
+                  update_state: bool, common_window: bool = False) -> None:
+        nb, ngroups, is8 = an["nb"], an["ngroups"], an["is8"]
+        sfs, qs, cbs = co["sfs"], co["qs"], co["cbs"]
+        if self.object_type == 1 and is8 and update_state:
+            # decoder resets all predictors on short frames
+            # (aac_syntax.apply_prediction EIGHT_SHORT branch)
+            self._pred_state[an["ch"]] = self._syn.new_predictor_state()
+        bw.put(8, co["global_gain"])
+        if not common_window:
+            self._emit_ics_info(bw, an)
+        # intensity bands override the right channel's section codebook
+        # (15/14) and code a position in the sf chain's own accumulator
+        # (decode_scalefactors offset[2], start 100)
+        isb = an.get("is_bands") or {}
+        cbs = np.asarray(cbs).copy()
+        for b, (bt, _pos) in isb.items():
+            cbs[b] = bt
         # section_data (per group; 3-bit runs short, 5-bit long)
         rbits = 3 if is8 else 5
         resc = (1 << rbits) - 1
@@ -1007,11 +1071,19 @@ class AacEncoder:
                     r -= resc
                 bw.put(rbits, r)
                 b += run
-        # scalefactor data (delta huffman)
+        # scalefactor data (delta huffman; intensity positions dpcm on
+        # their own chain)
         sf_codes, sf_bits = _sf_vlc_enc()
         prev = co["global_gain"]
+        prev_is = 100
         for i in range(ngroups * nb):
             if cbs[i] == 0:
+                continue
+            if int(cbs[i]) >= 14:
+                pos = isb[i][1]
+                d = pos - prev_is + 60
+                bw.put(int(sf_bits[d]), int(sf_codes[d]))
+                prev_is = pos
                 continue
             d = int(sfs[i]) - prev + 60
             bw.put(int(sf_bits[d]), int(sf_codes[d]))
@@ -1036,7 +1108,7 @@ class AacEncoder:
             bw.put1(0)  # tns_data_present
         bw.put1(0)  # gain_control_data_present
         for i in range(ngroups * nb):
-            if cbs[i]:
+            if 1 <= cbs[i] <= 11:   # intensity bands carry no spectra
                 _write_band(bw, qs[i], int(cbs[i]))
         if an["predicting"] and update_state:
             # mirror the decoder: decoded residual + enabled prediction
@@ -1056,12 +1128,97 @@ class AacEncoder:
             self._predict_update(an["ch"], dec, an["k1_arr"], kmax,
                                  an["reset_group"])
 
+    def _intensity_transform(self, c0: np.ndarray, c1: np.ndarray,
+                             ws: int) -> dict:
+        """Per-band intensity-stereo decision + right-channel zeroing.
+
+        High bands where L/R are strongly coherent code only a panning
+        position in the right channel: band_type 15 (in-phase) / 14
+        (out-of-phase) + a dpcm'd position p, and the decoder rebuilds
+        R = c * 2^((100-p)/4) * L (aacdec.c:1420-1451, intensity sf
+        chain decode_scalefactors offset[2]).  Long windows only; returns
+        {band: (band_type, position)}."""
+        if ws == EIGHT_SHORT:
+            return {}
+        offs, nb = self.swb_long, self.nswb_long
+        out: dict = {}
+        prev = 100     # dpcm start (decode_scalefactors offset[2])
+        for b in range(nb // 2, nb):
+            s = slice(int(offs[b]), int(offs[b + 1]))
+            L, R = c0[s].astype(np.float64), c1[s].astype(np.float64)
+            eL, eR, cr = (L ** 2).sum(), (R ** 2).sum(), (L * R).sum()
+            if eL < 1e-9 or eR < 1e-9:
+                continue
+            if abs(cr) / np.sqrt(eL * eR) < 0.8:
+                continue
+            pos = int(np.clip(round(100 - 2.0 * np.log2(eR / eL)), 0, 255))
+            if not -60 < pos - prev < 60:   # dpcm range (sf vlc)
+                continue
+            prev = pos
+            out[b] = (15 if cr >= 0 else 14, pos)
+            c1[s] = 0.0
+        return out
+
+    def _ms_transform(self, c0: np.ndarray, c1: np.ndarray, ws: int,
+                      group_len: list[int],
+                      skip: dict | None = None) -> np.ndarray:
+        """Per-band mid/side decision + in-place transform.
+
+        Bands where the M/S representation carries less energy than L/R
+        are replaced by (L+R)/2, (L-R)/2 — the decoder's butterfly
+        (aacdec.c:1390-1411: L'=a+b, R'=a-b) reconstructs L/R exactly.
+        The reference encoder's analogue sets cpe->ms_mask from the psy
+        model (aacenc.c:507-519).  Returns the per-(group,sfb) mask."""
+        is8 = ws == EIGHT_SHORT
+        offs = self.swb_short if is8 else self.swb_long
+        nb = self.nswb_short if is8 else self.nswb_long
+        ngroups = len(group_len) if is8 else 1
+        gl = group_len if is8 else [1]
+        mask = np.zeros(ngroups * nb, np.int32)
+        w0 = 0
+        for g in range(ngroups):
+            for b in range(nb):
+                if skip and b in skip:
+                    continue
+                sls = [slice((w0 + w) * 128 + int(offs[b]),
+                             (w0 + w) * 128 + int(offs[b + 1]))
+                       for w in range(gl[g])]
+                L = np.concatenate([c0[s] for s in sls])
+                R = np.concatenate([c1[s] for s in sls])
+                eLR = float((L ** 2).sum() + (R ** 2).sum())
+                M, S = 0.5 * (L + R), 0.5 * (L - R)
+                if float((M ** 2).sum() + (S ** 2).sum()) < 0.98 * eLR:
+                    mask[g * nb + b] = 1
+                    for s in sls:
+                        a, bb = c0[s].copy(), c1[s].copy()
+                        c0[s] = 0.5 * (a + bb)
+                        c1[s] = 0.5 * (a - bb)
+            w0 += gl[g]
+        return mask
+
     def _emit_frame(self, analyses: list[dict], codeds: list[dict]) -> bytes:
         bw = BitWriter()
         if self.channels == 1:
             bw.put(3, T.TYPE_SCE)
             bw.put(4, 0)
             self._emit_ics(bw, analyses[0], codeds[0], True)
+        elif analyses[0].get("ms_mask") is not None:
+            # M/S frame: common_window with a shared ics_info + mask
+            bw.put(3, T.TYPE_CPE)
+            bw.put(4, 0)
+            bw.put1(1)  # common_window
+            self._emit_ics_info(bw, analyses[0])
+            mask = analyses[0]["ms_mask"]
+            if mask.any():
+                bw.put(2, 1)  # ms_present = 1 (per-band mask)
+                for m in mask:
+                    bw.put1(int(m))
+            else:
+                bw.put(2, 0)  # common window, no M/S (e.g. intensity-only)
+            self._emit_ics(bw, analyses[0], codeds[0], True,
+                           common_window=True)
+            self._emit_ics(bw, analyses[1], codeds[1], True,
+                           common_window=True)
         else:
             bw.put(3, T.TYPE_CPE)
             bw.put(4, 0)
@@ -1098,8 +1255,27 @@ class AacEncoder:
             ws = int(ws_seq[t])
             groups = _group_layout(int(attack_pos[t]))
             F = _forward_matrices()[ws]
-            analyses = [self._analyze_ics(block[:, c] @ F, c, ws, groups)
+            specs = [block[:, c] @ F for c in range(self.channels)]
+            ms_mask = None
+            is_bands: dict = {}
+            if self.intensity:
+                is_bands = self._intensity_transform(specs[0], specs[1], ws)
+            if self.ms:
+                ms_mask = self._ms_transform(specs[0], specs[1], ws, groups,
+                                             skip=is_bands)
+            elif self.intensity:
+                # intensity needs common_window; an all-zero mask keeps
+                # the M/S butterfly inert (ms_present=1, mask=0)
+                ms_mask = np.zeros(
+                    (len(groups) if ws == EIGHT_SHORT else 1)
+                    * (self.nswb_short if ws == EIGHT_SHORT
+                       else self.nswb_long), np.int32)
+            analyses = [self._analyze_ics(specs[c], c, ws, groups)
                         for c in range(self.channels)]
+            if ms_mask is not None:
+                analyses[0]["ms_mask"] = ms_mask
+            if is_bands:
+                analyses[1]["is_bands"] = is_bands
             code = (self._code_ics_anmr
                     if self.coder == "anmr" and target is not None
                     else self._code_ics)

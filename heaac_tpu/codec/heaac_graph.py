@@ -201,10 +201,16 @@ def heaac_frame_qwire(coeffs, rec, heap, carry, is34: int = 0,
     return pcm, (state2, ph2, qc2)
 
 
-def _qwire_decode_all_coeffs(heap_w, rec_w, S: int, rate_idx: int, NB: int):
+def _qwire_decode_all_coeffs(heap_w, rec_w, S: int, rate_idx: int, NB: int,
+                             MS: int = 0, NS: int = 52):
     """Shared scan prologue: byte-heap view + parallel token decode of
     every frame-lane's spectrum -> (heap, rec_seq [T,L,REC_W],
-    coeffs [T,L,1024])."""
+    coeffs [T,L,1024]).
+
+    With MS != 0, spec-mode CPE pairs flagged W3_MS_LEFT/RIGHT get the
+    M/S butterfly applied across adjacent lanes (aacdec.c:1390-1411):
+    raw-bits lanes ship PRE-M/S spectra, and the pair's lanes sit at flat
+    rows r (left) and r+T (right) under the lane-major flattening."""
     from . import qwire
     heap = jax.lax.bitcast_convert_type(heap_w, jnp.uint8)\
         .reshape(-1).astype(jnp.int32)
@@ -221,17 +227,35 @@ def _qwire_decode_all_coeffs(heap_w, rec_w, S: int, rate_idx: int, NB: int):
         if NB > 0:
             from ..ops import spec_huff
             mode1 = ((flat[:, qwire.R_W2] >> 24) & 15) == 1
-            spec = spec_huff.decode_spec_jax(
-                heap, flat[:, qwire.R_TOKOFF],
-                flat[:, qwire.R_W3] * mode1, rate_idx, NB)
+            w3 = flat[:, qwire.R_W3] * mode1
+            dec = spec_huff.decode_spec_jax(
+                heap, flat[:, qwire.R_TOKOFF], w3, rate_idx, NB,
+                with_ms=bool(MS), NS=NS)
+            spec = dec[0] if MS else dec
             coeffs = jnp.where(mode1[:, None], spec, coeffs)
+            if MS:
+                msk = dec[1]
+                left = ((w3 >> 28) & 1)[:, None]
+                right = ((w3 >> 29) & 1)[:, None]
+                z = jnp.zeros((T, 1024), coeffs.dtype)
+                zi = jnp.zeros((T, 1024), msk.dtype)
+                # concat-of-slices, not slice-of-concat (known XLA/axon
+                # fusion miscompile — see CLAUDE.md / ops/ps_jax.py)
+                dn = jnp.concatenate([coeffs[T:], z], 0)    # row + T
+                up = jnp.concatenate([z, coeffs[:-T]], 0)   # row - T
+                m_l = msk * left
+                m_r = jnp.concatenate([zi, msk[:-T]], 0) * right
+                coeffs = jnp.where(
+                    m_l > 0, coeffs + dn,
+                    jnp.where(m_r > 0, up - coeffs, coeffs))
         coeffs = coeffs.reshape(L, T, 1024).transpose(1, 0, 2)
     return heap, rec_seq, coeffs
 
 
 @functools.cache
 def qwire_scan_decoder(is34: int, downsampled: int, S: int,
-                       rate_idx: int = -1, NB: int = 0):
+                       rate_idx: int = -1, NB: int = 0, MS: int = 0,
+                       NS: int = 52):
     """jit of: token-decode all frames' coeffs in one parallel pass, then
     scan the fused frame graph over T frames.  heap_w is the f32-viewed
     packed byte heap; rec_seq [T, L, REC_W] i32 bit patterns as f32.
@@ -243,7 +267,7 @@ def qwire_scan_decoder(is34: int, downsampled: int, S: int,
 
     def run(heap_w, rec_w, carry):
         heap, rec_seq, coeffs = _qwire_decode_all_coeffs(
-            heap_w, rec_w, S, rate_idx, NB)
+            heap_w, rec_w, S, rate_idx, NB, MS, NS)
 
         def body(c, xs):
             rec_t, coef_t = xs
@@ -260,7 +284,8 @@ def qwire_scan_decoder(is34: int, downsampled: int, S: int,
 
 @functools.cache
 def qwire_scan_decoder_couple(is34: int, downsampled: int, S: int,
-                              rate_idx: int = -1, NB: int = 0):
+                              rate_idx: int = -1, NB: int = 0, MS: int = 0,
+                              NS: int = 52):
     """qwire_scan_decoder with AFTER_IMDCT channel coupling: the scan
     keeps float output, then the coupling mix adds gain * src-lane time
     signal into each target (lane, stereo-sub) pair at the OUTPUT rate —
@@ -274,7 +299,7 @@ def qwire_scan_decoder_couple(is34: int, downsampled: int, S: int,
 
     def run(heap_w, rec_w, carry, etgt, etch, esrc, gains):
         heap, rec_seq, coeffs = _qwire_decode_all_coeffs(
-            heap_w, rec_w, S, rate_idx, NB)
+            heap_w, rec_w, S, rate_idx, NB, MS, NS)
 
         def body(c, xs):
             rec_t, coef_t = xs
@@ -317,7 +342,7 @@ def _convert_ps_flip(state: HeaacState, ph: dict, to34, to20):
 
 @functools.cache
 def qwire_scan_decoder_flip(downsampled: int, S: int, rate_idx: int = -1,
-                            NB: int = 0):
+                            NB: int = 0, NS: int = 52):
     """Flip-capable variant of qwire_scan_decoder: the PS band mode is
     per lane per FRAME (side bit 6, qwire.build_side), so one compiled
     graph decodes streams whose 20<->34 mode flips mid-stream — the PS
@@ -331,7 +356,7 @@ def qwire_scan_decoder_flip(downsampled: int, S: int, rate_idx: int = -1,
 
     def run(heap_w, rec_w, carry):
         heap, rec_seq, coeffs = _qwire_decode_all_coeffs(
-            heap_w, rec_w, S, rate_idx, NB)
+            heap_w, rec_w, S, rate_idx, NB, 0, NS)
 
         def body(c, xs):
             state, ph, qc, m34_prev = c

@@ -869,7 +869,9 @@ def splice_cce_into_lc(lc_adts: bytes, coupling_point: str = "before",
                        seed: int = 0) -> bytes:
     """Rebuild a mono LC ADTS stream as PCE-configured (chan_config=0) with
     a coupling channel element appended each frame (gain list c=0 only, so
-    no gain bits; aacdec.c:1533-1544)."""
+    no gain bits; aacdec.c:1533-1544).  coupling_point: "before" (0,
+    BEFORE_TNS), "between" (1, BETWEEN_TNS_AND_IMDCT), "after" (3,
+    AFTER_IMDCT)."""
     from ..codec.encoder import ONLY_LONG, AacEncoder, _forward_matrices
 
     frames = split_adts_stream(lc_adts)
@@ -897,11 +899,12 @@ def splice_cce_into_lc(lc_adts: bytes, coupling_point: str = "before",
         bw.put(3, T.TYPE_CCE)
         bw.put(4, 0)
         after = coupling_point == "after"
+        between = coupling_point == "between"
         bw.put1(1 if after else 0)   # ind_sw
         bw.put(3, 0)                 # num_coupled-1 -> 1 target
         bw.put1(0)                   # target is SCE
         bw.put(4, 0)                 # id_select
-        bw.put1(1 if after else 0)   # cc_domain / point adjust
+        bw.put1(1 if (after or between) else 0)  # cc_domain / point adjust
         bw.put1(0)                   # gain_element_sign
         bw.put(2, 0)                 # gain_element_scale
         block = cce_sig[fi * 1024:(fi + 1) * 1024 + 1024]

@@ -447,16 +447,32 @@ static uint8_t cb_walk[12][2048];
 
 struct SpecCap {
   int ok = 0;        // capture valid for the lane just parsed
-  int max_sfb = 0;
-  uint8_t band_cb[64];
-  uint16_t sfw[64];
-  int64_t bandpos[65];
+  int max_sfb = 0;   // per GROUP (== n_bands for long windows)
+  int n_bands = 0;   // num_window_groups * max_sfb (<= 120)
+  int is8 = 0;       // EIGHT_SHORT lane (W3_SHORT; grouping byte leads)
+  uint8_t grouping = 0;   // 7-bit scale_factor_grouping field
+  uint8_t band_cb[120];
+  uint16_t sfw[120];
+  int64_t bandpos[121];
   const uint8_t* buf = nullptr;
   int64_t nbits = 0;
+  // device-M/S CPE pairs (raw bits predate the host butterfly):
+  // 0 = none, 1 = left lane (carries the mask), 2 = right lane
+  int ms_flag = 0;
+  uint8_t ms_mask[64];
 };
 // armed capture slot for the next SCE/LFE parse_ics (qwire path only);
 // one slot per lane so multi-element frames keep every capture
 static SpecCap* g_spec_active = nullptr;
+// one-shot Chan storage for the next ht_parse_sce/cpe call (dependent-
+// CCE frames keep TNS state alive past the element loop)
+static Chan* g_chan_export[2] = {nullptr, nullptr};
+// per-channel CPE capture slots, armed alongside hh_arm_cpe
+static SpecCap* g_spec_cpe[2] = {nullptr, nullptr};
+static inline void hh_arm_cpe_spec(SpecCap* s0, SpecCap* s1) {
+  g_spec_cpe[0] = s0;
+  g_spec_cpe[1] = s1;
+}
 
 static int walk_spectrum(Bits* b, const Chan* ch, int64_t* bandpos) {
   const IcsInfo* ics = &ch->ics;
@@ -464,12 +480,17 @@ static int walk_spectrum(Bits* b, const Chan* ch, int64_t* bandpos) {
   const uint8_t* buf = b->buf;
   const int64_t nbits = b->nbits;
   int64_t pos = b->pos;
-  for (int i = 0; i < ics->max_sfb; i++) {
-    bandpos[i] = pos;
-    int bt = ch->band_type[i];
+  int idx = 0;
+  for (int g = 0; g < ics->num_window_groups; g++)
+  for (int i = 0; i < ics->max_sfb; i++, idx++) {
+    bandpos[idx] = pos;
+    int bt = ch->band_type[idx];
     if (bt == 0) continue;
     const uint8_t* walk = cb_walk[bt];
-    int ncodes = (offsets[i + 1] - offsets[i]) / cb_dim[bt];
+    // a group's windows share the band's section contiguously (the
+    // decode loop iterates windows inside the band, aacdec.c:1032)
+    int ncodes =
+        ics->group_len[g] * (offsets[i + 1] - offsets[i]) / cb_dim[bt];
     int c = 0;
     while (c < ncodes) {
       uint64_t w = wnd64(buf, nbits, pos);
@@ -507,7 +528,7 @@ static int walk_spectrum(Bits* b, const Chan* ch, int64_t* bandpos) {
       c++;
     }
   }
-  bandpos[ics->max_sfb] = pos;
+  bandpos[idx] = pos;
   b->pos = pos;
   return 0;
 }
@@ -1268,36 +1289,51 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
   // (ops/spec_huff.py).  Falls through to the full decode otherwise.
   SpecCap* sc = g_spec_active;
   if (sc) sc->ok = 0;
-  if (sc && ch->ics.num_window_groups == 1
-      && ch->ics.num_windows == 1 && !ch->tns.present && !pulse_count
-      && ch->ics.max_sfb > 0 && ch->ics.max_sfb < 64) {
-    int bad = 0, nsec = 1, prev_sf = -1;
-    for (int i = 0; i < ch->ics.max_sfb; i++) {
-      int bt = ch->band_type[i];
-      if (bt >= 12) {  // noise / intensity: device fast path can't
-        bad = 1;
-        break;
-      }
-      if (i && bt != ch->band_type[i - 1]) nsec++;
-      if (bt >= 1) {
-        int s = ch->sfwb[i];
-        if (prev_sf >= 0) {
-          int d = s - prev_sf;
-          if (d < -31 || d > 32) {
-            bad = 1;
-            break;
-          }
+  int is8 = ch->ics.num_windows == 8;
+  int nbands = ch->ics.num_window_groups * ch->ics.max_sfb;
+  if (sc && (ch->ics.num_windows == 1 || is8)
+      && (is8 || ch->ics.num_window_groups == 1)
+      && !ch->tns.present && !pulse_count
+      && ch->ics.max_sfb > 0 && nbands <= 120) {
+    int bad = 0, nsec = 0, prev_sf = -1;
+    for (int g = 0, idx = 0; g < ch->ics.num_window_groups && !bad; g++)
+      for (int i = 0; i < ch->ics.max_sfb; i++, idx++) {
+        int bt = ch->band_type[idx];
+        if (bt >= 12) {  // noise / intensity: device fast path can't
+          bad = 1;
+          break;
         }
-        prev_sf = s;
+        // runs never cross a group boundary (section_data is per group)
+        if (i == 0 || bt != ch->band_type[idx - 1]) nsec++;
+        if (bt >= 1) {
+          int s = ch->sfwb[idx];
+          if (prev_sf >= 0) {
+            int d = s - prev_sf;
+            if (d < -31 || d > 32) {
+              bad = 1;
+              break;
+            }
+          }
+          prev_sf = s;
+        }
       }
-    }
     if (!bad && nsec <= 24) {
       int64_t bp0 = b->pos;
       if (walk_spectrum(b, ch, sc->bandpos) == 0
-          && sc->bandpos[ch->ics.max_sfb] - sc->bandpos[0] < (1 << 13)) {
+          && sc->bandpos[nbands] - sc->bandpos[0] < (1 << 13)) {
         sc->ok = 1;
+        sc->ms_flag = 0;
         sc->max_sfb = ch->ics.max_sfb;
-        for (int i = 0; i < ch->ics.max_sfb; i++) {
+        sc->n_bands = nbands;
+        sc->is8 = is8;
+        sc->grouping = 0;
+        if (is8) {  // bit (7-w): window w shares window w-1's group
+          int w = 0;
+          for (int g = 0; g < ch->ics.num_window_groups; g++)
+            for (int r = 0; r < ch->ics.group_len[g]; r++, w++)
+              if (r >= 1) sc->grouping |= (uint8_t)(1 << (7 - w));
+        }
+        for (int i = 0; i < nbands; i++) {
           sc->band_cb[i] = (uint8_t)ch->band_type[i];
           sc->sfw[i] = ch->sfwb[i];
         }
@@ -1411,7 +1447,13 @@ int ht_parse_sce(const uint8_t* buf, int64_t nbits, int64_t* pos,
                  int sampling_index, float* coeffs, int32_t* meta,
                  uint32_t* rng_state, int apply_tns_now) {
   Bits b{buf, nbits, *pos};
-  Chan ch;
+  Chan local;
+  // dependent-CCE frames defer TNS past the spectral coupling add
+  // (aacdec.c:1870-1890 ordering): the caller provides Chan storage so
+  // the TNS filter state survives the element loop (one-shot arming)
+  Chan* chp = g_chan_export[0] ? g_chan_export[0] : &local;
+  g_chan_export[0] = nullptr;
+  Chan& ch = *chp;
   // parse_ics fills every field it later reads; only the band maps need
   // zeroing (apply_pulses may walk past max_sfb) — a full Chan memset is
   // ~10 KB/frame of the TNS coef array alone
@@ -1432,7 +1474,10 @@ int ht_parse_cpe(const uint8_t* buf, int64_t nbits, int64_t* pos,
                  int32_t* meta0, int32_t* meta1, uint32_t* rng_state,
                  int apply_tns_now) {
   Bits b{buf, nbits, *pos};
-  Chan ch0, ch1;
+  Chan l0, l1;
+  Chan& ch0 = g_chan_export[0] ? *g_chan_export[0] : l0;
+  Chan& ch1 = g_chan_export[1] ? *g_chan_export[1] : l1;
+  g_chan_export[0] = g_chan_export[1] = nullptr;
   // targeted zeroing (see ht_parse_sce): skip the 10 KB full-struct memset
   memset(&ch0.ics, 0, sizeof(ch0.ics));
   memset(ch0.band_type, 0, sizeof(ch0.band_type));
@@ -1457,12 +1502,18 @@ int ht_parse_cpe(const uint8_t* buf, int64_t nbits, int64_t* pos,
       memset(ms_mask, 1, nmask);
   }
   int allow_direct = ms_present == 0;
+  SpecCap* scc[2] = {g_spec_cpe[0], g_spec_cpe[1]};
+  g_spec_cpe[0] = g_spec_cpe[1] = nullptr;  // one-shot arming
+  for (int c = 0; c < 2; c++)
+    if (scc[c]) scc[c]->ok = 0;
   g_qwd_arm = allow_direct ? g_qwd_cpe[0] : nullptr;
   if (g_qwd_arm) {
     g_qwd_arm->nt = g_qwd_arm->ne = 0;
   }
+  g_spec_active = scc[0];
   int r = parse_ics(&b, &ch0, sampling_index, common_window, coeffs0,
                     rng_state);
+  g_spec_active = nullptr;
   g_qwd_cpe_used[0] = g_qwd != nullptr;
   g_qwd = nullptr;
   if (r) {
@@ -1470,13 +1521,58 @@ int ht_parse_cpe(const uint8_t* buf, int64_t nbits, int64_t* pos,
     return r;
   }
   g_qwd_arm = allow_direct ? g_qwd_cpe[1] : nullptr;
+  g_spec_active = scc[1];
   r = parse_ics(&b, &ch1, sampling_index, common_window, coeffs1, rng_state);
+  g_spec_active = nullptr;
   g_qwd_cpe_used[1] = g_qwd != nullptr;
   g_qwd = nullptr;
   g_qwd_arm = nullptr;
   if (r) return r;
 
-  if (common_window && ms_present) {  // M/S (aacdec.c:1390-1411)
+  // spec-capture (raw-bits) CPE lanes: decide device vs host stereo tools.
+  // Raw bits predate the M/S butterfly and intensity fill, so
+  //  - effective M/S needs BOTH channels captured (the device butterflies
+  //    the pair, W3_MS_LEFT/RIGHT) or neither (host butterfly + tokens);
+  //  - intensity in ch1 excludes ch1 from capture (band-type gate) and
+  //    needs ch0's decoded VALUES on the host, so a captured ch0 gets its
+  //    spectrum re-decoded (capture stays valid — ch0's own output equals
+  //    its raw-bits decode when no M/S touches it).
+  int cap0 = scc[0] && scc[0]->ok, cap1 = scc[1] && scc[1]->ok;
+  int nmask = common_window ? ch0.ics.num_window_groups * ch0.ics.max_sfb
+                            : 0;
+  int ms_eff = 0;
+  if (ms_present)
+    for (int i = 0; i < nmask; i++)
+      ms_eff |= ms_mask[i] && ch0.band_type[i] < 13 && ch1.band_type[i] < 13;
+  int intens = 0;
+  for (int i = 0;
+       i < ch1.ics.num_window_groups * ch1.ics.max_sfb && !intens; i++)
+    intens |= ch1.band_type[i] >= 14;
+  // device M/S pairs are long-window only (mask rides per-sfb; the
+  // Python planner gates identically in _try_spec_cpe)
+  int device_ms = ms_eff && cap0 && cap1 && !scc[0]->is8 && !scc[1]->is8;
+  if (device_ms) {
+    scc[0]->ms_flag = 1;
+    scc[1]->ms_flag = 2;
+    for (int i = 0; i < scc[0]->max_sfb; i++)
+      scc[0]->ms_mask[i] = (uint8_t)(ms_mask[i] != 0);
+  } else {
+    // host path needs real values for any captured channel feeding the
+    // M/S butterfly; intensity only reads ch0 (capture stays valid)
+    if (cap0 && (ms_eff || intens)) {
+      Bits rb{buf, nbits, scc[0]->bandpos[0]};
+      if (parse_spectrum(&rb, &ch0, coeffs0, rng_state)) return -1;
+      if (ms_eff) scc[0]->ok = 0;
+    }
+    if (cap1 && ms_eff) {
+      Bits rb{buf, nbits, scc[1]->bandpos[0]};
+      if (parse_spectrum(&rb, &ch1, coeffs1, rng_state)) return -1;
+      scc[1]->ok = 0;
+    }
+  }
+
+  if (common_window && ms_present && !device_ms) {
+    // M/S (aacdec.c:1390-1411)
     const int* offsets = ch0.ics.swb_offset;
     int idx = 0;
     float* c0 = coeffs0;

@@ -96,6 +96,21 @@ def sfb_of_bin(sampling_index: int) -> np.ndarray:
     return sfb, beyond.astype(np.int32), int(ns)
 
 
+@functools.cache
+def sfb_of_bin_short(sampling_index: int):
+    """Short-window (128-bin) analogue of sfb_of_bin, plus per-sfb
+    offsets/widths — static per rate (ff_swb_offset_128)."""
+    off = np.asarray(T.swb_offset_128(sampling_index), np.int32)
+    ns = T.num_swb_128(sampling_index)
+    sfb = np.searchsorted(off[:ns + 1], np.arange(128), side="right") - 1
+    sfb = np.clip(sfb, 0, ns - 1).astype(np.int32)
+    beyond = np.arange(128) >= off[ns]
+    bw = (off[1:ns + 1] - off[:ns]).astype(np.int32)
+    bw = np.concatenate([bw, np.zeros(16 - ns, np.int32)])
+    offp = np.concatenate([off[:ns], np.zeros(16 - ns, np.int32)])
+    return sfb, beyond.astype(np.int32), int(ns), offp, bw
+
+
 # =============================================================================
 # Host-side reference encoder (numpy) — the oracle for the device decoder
 # and the Python-planner emitter for wire v4 spec-mode lanes.
@@ -159,18 +174,43 @@ def encode_section(bw: BitWriter, cb: int, q: np.ndarray) -> None:
 
 SF_D_LO, SF_D_HI = -31, 32    # 6-bit packed sf deltas (d + 31)
 
+# w3 flag bits (above the nbits/nsec/sfidx0 fields):
+W3_MS_MASK = 1 << 27   # block carries an M/S band mask after the section map
+W3_MS_LEFT = 1 << 28   # lane is the LEFT channel of a device-M/S CPE pair
+W3_MS_RIGHT = 1 << 29  # lane is the RIGHT channel (mask rides the left lane)
+W3_SHORT = 1 << 30     # EIGHT_SHORT lane: grouping byte leads the block
 
-def pack_spec_block(sections, sf_idx, spec_bits: bytes, nbits: int):
+
+def pack_spec_block(sections, sf_idx, spec_bits: bytes, nbits: int,
+                    ms_mask=None, grouping=None):
     """sections: list of (cb, nsfb, bitlen); sf_idx: per-CODED-band pow2sf
     indices (first entry becomes sfw0 in the record word; the rest travel
     as packed 6-bit deltas — callers fall back to token mode when a delta
-    leaves [-31, 32]).  Returns (block bytes, w3) where
-    w3 = nbits | nsec<<13 | sfidx0<<18."""
+    leaves [-31, 32]).  ``ms_mask``, if given, is the per-sfb M/S mask
+    (length == total sfb count) packed MSB-first after the section map —
+    the device butterflies the pair (aacdec.c:1390-1411) since raw-bits
+    lanes ship PRE-M/S spectra.  ``grouping``, if given, marks an
+    EIGHT_SHORT lane: the 7-bit scale_factor_grouping field leads the
+    block and sections run (group, sfb)-major.  Returns (block bytes, w3)
+    where w3 = nbits | nsec<<13 | sfidx0<<18 [| flags]."""
     b = bytearray()
+    if grouping is not None:
+        b.append(grouping & 0x7F)
+    total_sfb = 0
     for cb, nsfb, blen in sections:
         assert 0 <= cb <= 11 and nsfb < 64 and blen < (1 << 14)
         u24 = cb | (nsfb << 4) | (blen << 10)
         b += u24.to_bytes(3, "little")
+        total_sfb += nsfb
+    ms_flag = 0
+    if ms_mask is not None:
+        assert len(ms_mask) == total_sfb
+        mb = bytearray((total_sfb + 7) // 8)
+        for f, v in enumerate(ms_mask):
+            if v:
+                mb[f >> 3] |= 1 << (7 - (f & 7))
+        b += mb
+        ms_flag = W3_MS_MASK
     sfidx0 = int(sf_idx[0]) if len(sf_idx) else 0
     prev = sfidx0
     sfw = BitWriter()
@@ -183,16 +223,30 @@ def pack_spec_block(sections, sf_idx, spec_bits: bytes, nbits: int):
     b += spec_bits
     assert nbits < (1 << 13) and len(sections) <= SEC_MAX
     assert 0 <= sfidx0 < 512
-    w3 = nbits | (len(sections) << 13) | (sfidx0 << 18)
+    w3 = nbits | (len(sections) << 13) | (sfidx0 << 18) | ms_flag
+    if grouping is not None:
+        w3 |= W3_SHORT
     return bytes(b), w3
 
 
 # =============================================================================
 # Device decoder (jax)
 # =============================================================================
-def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int):
+def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int,
+                    with_ms: bool = False, NS: int = NS_MAX):
     """heap [N] i32 (byte values), off [B] spec-block byte offsets,
-    w3 [B] packed (nbits | nsec<<13 | sfidx0<<18) -> coeffs [B, 1024] f32.
+    w3 [B] packed (nbits | nsec<<13 | sfidx0<<18 | flags) ->
+    coeffs [B, 1024] f32 — or (coeffs, ms_mask [B, 1024] i32) when
+    ``with_ms`` (the per-bin M/S band mask of W3_MS_MASK lanes, for the
+    caller's pair butterfly).
+
+    W3_SHORT lanes (bit 30) are EIGHT_SHORT frames: the block leads with
+    a grouping byte (the 7-bit scale_factor_grouping field, MSB-first)
+    and sections/scalefactors run in (group, sfb) read order; the output
+    mapping de-interleaves them to the [8, 128] window layout the IMDCT
+    consumes (the reference writes group-interleaved buffers the same
+    way, aacdec.c:988-1216).  Callers with short lanes pass NS >= the max
+    ngroups*max_sfb (<= 120).
 
     Lanes with w3 == 0 decode to all-zero (token-mode lanes)."""
     import jax.numpy as jnp
@@ -201,9 +255,22 @@ def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int):
 
     N = heap.shape[0]
     B = off.shape[0]
-    sfb_p, beyond_p, ns = sfb_of_bin(sampling_index)
-    sfb_p = jnp.asarray(sfb_p)
-    beyond_p = jnp.asarray(beyond_p)
+    sfbL, beyondL, ns = sfb_of_bin(sampling_index)
+    sfbS, beyondS, nsS, offS, bwS = sfb_of_bin_short(sampling_index)
+    offL = np.asarray(T.swb_offset_1024(sampling_index), np.int32)
+    # static per-column (bin) tables for the long/short output mappings
+    pcol = np.arange(1024)
+    col_w = (pcol >> 7).astype(np.int32)              # window of bin
+    kcol = (pcol & 127)
+    col_sfb_s = sfbS[kcol]
+    col_sfb_l = sfbL
+    col_beyond_s = beyondS[kcol]
+    col_beyond_l = beyondL
+    col_inoff_s = (kcol - offS[col_sfb_s]).astype(np.int32)
+    col_inoff_l = (pcol - offL[col_sfb_l]).astype(np.int32)
+    col_bw_s = bwS[col_sfb_s]
+    bwL = np.zeros(NS, np.int32)
+    bwL[:ns] = offL[1:ns + 1] - offL[:ns]
     lut = jnp.asarray(luts().reshape(-1).view(np.int32))
     cbrt = jnp.asarray(qluts()["cbrt"])
     pow2 = jnp.asarray(qluts()["pow2sf"])
@@ -213,11 +280,15 @@ def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int):
     nbits = w3 & 0x1FFF
     nsec = (w3 >> 13) & 31
     sfidx0 = (w3 >> 18) & 511
+    short = (w3 >> 30) & 1
+    shortB = short[:, None] > 0
+
+    g = lambda o: heap[o.clip(0, N - 1)]
+    smap = off + short              # grouping byte precedes the sections
 
     # ---- section table ------------------------------------------------------
     s24 = jnp.arange(SEC_MAX)[None, :]
-    g = lambda o: heap[o.clip(0, N - 1)]
-    so = off[:, None] + 3 * s24
+    so = smap[:, None] + 3 * s24
     u24 = g(so) | (g(so + 1) << 8) | (g(so + 2) << 16)
     valid_s = s24 < nsec[:, None]
     cb_s = (u24 & 15) * valid_s
@@ -228,15 +299,42 @@ def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int):
     bit_end = jnp.cumsum(blen_s, axis=1)
     total_sfb = sfb_end[:, -1]
     nsf = (coded_s * nsfb_s).sum(1)
+    # optional M/S band mask between the section map and the sf deltas
+    has_mask = (w3 >> 27) & 1
+    mask_bytes = has_mask * ((total_sfb + 7) >> 3)
 
-    # ---- per-sfb codebook + scalefactor ------------------------------------
-    f52 = jnp.arange(NS_MAX)[None, :]
+    # ---- short-window grouping ----------------------------------------------
+    gb = g(off) * short                           # [B] grouping byte
+    w8 = jnp.arange(8)[None, :]
+    same_w = jnp.where(w8 >= 1, (gb[:, None] >> (7 - w8.clip(1, 7))) & 1, 0)
+    gid_w = jnp.cumsum(1 - same_w, axis=1) - 1    # [B,8] group of window
+    ranks = [jnp.zeros((B,), jnp.int32)]
+    for w in range(1, 8):                         # rank within group
+        ranks.append(jnp.where(same_w[:, w] > 0, ranks[-1] + 1, 0))
+    rank_w = jnp.stack(ranks, axis=1)
+    ngroups = jnp.where(short > 0, gid_w[:, -1] + 1, 1)
+    glen_g = (gid_w[:, :, None] == jnp.arange(8)[None, None, :]).sum(1)
+    msfb = jnp.where(short > 0,
+                     total_sfb // jnp.maximum(ngroups, 1), total_sfb)
+
+    # ---- per-band (read order: group-major for shorts) ----------------------
+    f52 = jnp.arange(NS)[None, :]
     sec_of_f = (f52[:, :, None] >= sfb_end[:, None, :]).sum(-1)  # [B,NS]
     cb_f = jnp.take_along_axis(cb_s, sec_of_f.clip(0, SEC_MAX - 1), axis=1)
     in_f = f52 < total_sfb[:, None]
     coded_f = (cb_f >= 1) & (cb_f <= 11) & in_f
     rank_f = jnp.cumsum(coded_f.astype(jnp.int32), axis=1) - coded_f
-    sf_base = off + 3 * nsec
+    msfb1 = jnp.maximum(msfb, 1)[:, None]
+    sfb_of_f = jnp.where(shortB, f52 % msfb1, f52)
+    grp_of_f = jnp.where(shortB, f52 // msfb1, 0)
+    bw_f = jnp.where(shortB,
+                     jnp.asarray(bwS)[sfb_of_f.clip(0, 15)],
+                     jnp.asarray(bwL)[f52.clip(0, NS - 1)])
+    glen_f = jnp.take_along_axis(glen_g, grp_of_f.clip(0, 7), axis=1)
+    sizes_f = coded_f * jnp.where(shortB, glen_f, 1) * bw_f
+    cumsz_f = jnp.cumsum(sizes_f, axis=1)
+    starts_f = cumsz_f - sizes_f                  # coded-bin start per band
+    sf_base = smap + 3 * nsec + mask_bytes
     # 6-bit packed deltas at bit 6*rank of the sf region (first is 0)
     q6 = 6 * rank_f
     sb_ = sf_base[:, None] + (q6 >> 3)
@@ -320,13 +418,26 @@ def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int):
     start_j = cum_j - dim_j
 
     # ---- output bins --------------------------------------------------------
-    p = jnp.arange(1024)[None, :]
-    cb_p = jnp.take_along_axis(cb_f, jnp.broadcast_to(
-        sfb_p[None, :], (B, 1024)), axis=1)
-    coded_p = (cb_p >= 1) & (cb_p <= 11) & (beyond_p[None, :] == 0) \
-        & (jnp.take_along_axis(in_f, jnp.broadcast_to(
-            sfb_p[None, :], (B, 1024)), axis=1))
-    ci = jnp.cumsum(coded_p.astype(jnp.int32), axis=1) - coded_p
+    # band index f and coded-bin index ci of each output bin p: long
+    # windows read in bin order; shorts read (group, sfb, window-in-
+    # group, bin) so bin p of window w sits at
+    # starts_f[gid(w)*max_sfb + sfb(k)] + rank(w)*bw + (k - off(sfb))
+    sfb_q = jnp.where(shortB, jnp.asarray(col_sfb_s)[None, :],
+                      jnp.asarray(col_sfb_l)[None, :])
+    f_q = jnp.where(shortB,
+                    gid_w[:, col_w] * msfb1 + sfb_q, sfb_q)
+    fqc = f_q.clip(0, NS - 1)
+    inband = jnp.where(
+        shortB,
+        jnp.asarray(col_inoff_s)[None, :]
+        + rank_w[:, col_w] * jnp.asarray(col_bw_s)[None, :],
+        jnp.asarray(col_inoff_l)[None, :])
+    beyond_q = jnp.where(shortB, jnp.asarray(col_beyond_s)[None, :],
+                         jnp.asarray(col_beyond_l)[None, :])
+    cb_p = jnp.take_along_axis(cb_f, fqc, axis=1)
+    coded_p = (cb_p >= 1) & (cb_p <= 11) & (beyond_q == 0) \
+        & (sfb_q < msfb[:, None]) & (f_q < total_sfb[:, None])
+    ci = jnp.take_along_axis(starts_f, fqc, axis=1) + inband
     # binary search: code j with start_j <= ci < cum_j
     lo = jnp.zeros((B, 1024), jnp.int32)
     hi = jnp.full((B, 1024), NC_MAX, jnp.int32)
@@ -370,9 +481,19 @@ def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int):
     mant = bits_at(qe + ne_ + 1, 13) >> (13 - (ne_ + 4)).clip(0, 13)
     av = jnp.where(my_esc, (1 << (ne_ + 4)) + mant, jnp.abs(v))
     mag = cbrt[av.clip(0, 8191)]
-    sf_p = jnp.take_along_axis(sf_f, jnp.broadcast_to(
-        sfb_p[None, :], (B, 1024)), axis=1)
+    sf_p = jnp.take_along_axis(sf_f, fqc, axis=1)
     sign = jnp.where((v < 0) | (sgn_bit > 0), -1.0, 1.0)
     out = sign * mag * sf_p
     zero = (v == 0) | ~coded_p | (ci >= cum_j[:, -1:]) | ~gj(code_ok)
-    return jnp.where(zero, 0.0, out)
+    out = jnp.where(zero, 0.0, out)
+    if not with_ms:
+        return out
+    # per-bin M/S mask of W3_MS_MASK lanes: bit f of the mask region
+    # (right after the section map) -> every bin of sfb f.  The butterfly
+    # itself is the caller's pair pass (bins beyond off[max_sfb] and
+    # sfb >= total_sfb stay untouched, aacdec.c:1390 loops i < max_sfb).
+    mb_base = smap + 3 * nsec
+    mbyte = g(mb_base[:, None] + (f52 >> 3))
+    mask_f = ((mbyte >> (7 - (f52 & 7))) & 1) * has_mask[:, None] * in_f
+    mask_p = jnp.take_along_axis(mask_f, fqc, axis=1) * (beyond_q == 0)
+    return out, mask_p

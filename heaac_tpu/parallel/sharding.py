@@ -144,7 +144,8 @@ class ShardedQwireDecoder:
                 # edge arrays are tiny and replicated; XLA inserts the
                 # collective for the cross-shard gather
                 run = qwire_scan_decoder_couple(dec.is34, dec.ds, dec.S,
-                                                dec.rate_idx, dec.NB)
+                                                dec.rate_idx, dec.NB,
+                                                dec.MS, dec.NS)
                 etgt, etch, esrc, gains = dec._cur_couple
                 _, pcm = run(heap_w, rec_w, carry,
                              jax.device_put(etgt, self._sh_rep),
@@ -153,7 +154,8 @@ class ShardedQwireDecoder:
                              jax.device_put(gains, self._sh_rep))
             else:
                 run = qwire_scan_decoder(dec.is34, dec.ds, dec.S,
-                                         dec.rate_idx, dec.NB)
+                                         dec.rate_idx, dec.NB, dec.MS,
+                                         dec.NS)
                 _, pcm = run(heap_w, rec_w, carry)
             outs.append(pcm)
         jax.block_until_ready(outs[-1])

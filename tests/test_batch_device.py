@@ -165,7 +165,7 @@ def test_batch_downsampled_sbr(ref_harness, tmp_path):
 
 
 @pytest.mark.golden
-@pytest.mark.parametrize("point", ["before", "after"])
+@pytest.mark.parametrize("point", ["before", "between", "after"])
 def test_batch_cce_coupling(point, ref_harness, stream_factory, tmp_path,
                             caplog):
     """CCE through decode_batch stays BATCHED for every coupling point:

@@ -1,4 +1,5 @@
 """Container layer + CLI tests: ADTS mux, ADTS->ASC BSF, WAV, tpuaac."""
+import os
 import subprocess
 import sys
 
@@ -53,9 +54,11 @@ def test_cli(lc_stream, tmp_path):
     inp = tmp_path / "in.aac"
     inp.write_bytes(lc_stream)
     out = tmp_path / "out.wav"
+    env = dict(os.environ, HEAAC_PLATFORM="cpu")
     r = subprocess.run([sys.executable, "-m", "heaac_tpu.cli", "-i",
                         str(inp), str(out), "--benchmark"],
-                       capture_output=True, text=True)
+                       capture_output=True, text=True, env=env,
+                       timeout=900)
     assert r.returncode == 0, r.stderr
     pcm, rate = read_wav(str(out))
     ref, _ = decode_adts(lc_stream)

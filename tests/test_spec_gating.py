@@ -101,9 +101,11 @@ def test_tns_lane_never_spec_mode():
     _compare_vs_compact(he_tns)
 
 
-def test_eight_short_never_spec_mode():
+def test_eight_short_spec_mode_flagged():
     """EIGHT_SHORT frames interleave window groups in the spectral
-    domain; they must emit integer tokens, never raw bits."""
+    domain; a raw-bits lane must therefore carry the W3_SHORT flag (the
+    device de-interleaves, ops/spec_huff.py) — and the batch still
+    matches the compact path."""
     from heaac_tpu.bitstream import aac_syntax as T
     from heaac_tpu.codec.batch import parse_stream_qwire
     from heaac_tpu.codec.encoder import decide_window_sequences
@@ -136,8 +138,9 @@ def test_eight_short_never_spec_mode():
         ws = int(el.cur[0].ics.window_sequence)
         if ws == int(T.T.EIGHT_SHORT):
             for _, rec in lanes:
-                assert ((int(rec[qwire.R_W2]) >> 24) & 15) != 1, \
-                    "EIGHT_SHORT frame took the raw-bits spec path"
+                if ((int(rec[qwire.R_W2]) >> 24) & 15) == 1:
+                    assert (int(rec[qwire.R_W3]) >> 30) & 1, \
+                        "EIGHT_SHORT raw-bits lane missing W3_SHORT"
 
     _compare_vs_compact(he)
 
