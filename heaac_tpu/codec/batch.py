@@ -429,8 +429,7 @@ class QwirePlanningDecoder(Decoder):
         grouping byte and (group, sfb)-ordered sections (W3_SHORT); the
         device de-interleaves.  ``ms_mask`` (per-sfb, length max_sfb)
         rides the block for CPE pairs whose M/S butterfly moves to the
-        device (the raw bits are PRE-M/S; see _try_spec_cpe) — long
-        windows only."""
+        device (the raw bits are PRE-M/S; see _try_spec_cpe)."""
         from . import qwire
         from ..ops import spec_huff as SH
         ics = cd.ics
@@ -441,7 +440,6 @@ class QwirePlanningDecoder(Decoder):
         bp = getattr(cd, "spec_bandpos", None)
         if (self.m4ac.object_type != 2 or not bp
                 or (not is8 and ics.num_window_groups != 1)
-                or (is8 and ms_mask is not None)
                 or getattr(cd, "pulse_present", False)):
             return None
         if any(et == T.TYPE_CCE for (et, _) in self.elements):

@@ -459,7 +459,7 @@ struct SpecCap {
   // device-M/S CPE pairs (raw bits predate the host butterfly):
   // 0 = none, 1 = left lane (carries the mask), 2 = right lane
   int ms_flag = 0;
-  uint8_t ms_mask[64];
+  uint8_t ms_mask[120];    // per (group, sfb) band, n_bands entries
 };
 // armed capture slot for the next SCE/LFE parse_ics (qwire path only);
 // one slot per lane so multi-element frames keep every capture
@@ -1548,13 +1548,14 @@ int ht_parse_cpe(const uint8_t* buf, int64_t nbits, int64_t* pos,
   for (int i = 0;
        i < ch1.ics.num_window_groups * ch1.ics.max_sfb && !intens; i++)
     intens |= ch1.band_type[i] >= 14;
-  // device M/S pairs are long-window only (mask rides per-sfb; the
-  // Python planner gates identically in _try_spec_cpe)
-  int device_ms = ms_eff && cap0 && cap1 && !scc[0]->is8 && !scc[1]->is8;
+  int device_ms = ms_eff && cap0 && cap1;
   if (device_ms) {
     scc[0]->ms_flag = 1;
     scc[1]->ms_flag = 2;
-    for (int i = 0; i < scc[0]->max_sfb; i++)
+    // per (group, sfb) band in read order — the device maps bins through
+    // the same band index (ops/spec_huff.py f_q), so EIGHT_SHORT pairs
+    // butterfly correctly too
+    for (int i = 0; i < scc[0]->n_bands; i++)
       scc[0]->ms_mask[i] = (uint8_t)(ms_mask[i] != 0);
   } else {
     // host path needs real values for any captured channel feeding the

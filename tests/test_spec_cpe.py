@@ -131,6 +131,52 @@ def test_cpe_ms_golden(ref_harness, tmp_path):
     assert np.abs(new[:n].astype(int) - gold[:n].astype(int)).max() <= 2
 
 
+def test_cpe_ms_short_windows():
+    """Device M/S on EIGHT_SHORT spec pairs: the mask is per (group,
+    sfb) band and the butterfly maps through the same band index as the
+    de-interleave (ops/spec_huff.py f_q), so window-switched M/S frames
+    stay raw-bits on both emitters."""
+    from heaac_tpu.codec.batch import parse_stream_qwire
+    from heaac_tpu.io.heaac_testgen import SbrStreamWriter, \
+        splice_sbr_into_lc
+    sr = 24000
+    rng = np.random.default_rng(4)
+    t = np.arange(int(sr * 1.5)) / sr
+    mid = 0.05 * np.sin(2 * np.pi * 700 * t) \
+        + 0.005 * rng.standard_normal(len(t))
+    side = 0.01 * np.sin(2 * np.pi * 1900 * t)
+    L, R = mid + side, mid - side
+    for p in range(512, len(L) - 96, 2048):
+        L[p:p + 96] += np.hanning(96) * 2.0
+        R[p:p + 96] += np.hanning(96) * 2.0
+    pcm16 = np.clip(np.stack([L, R], 1) * 3000,
+                    -32768, 32767).astype(np.int16)
+    core = AacEncoder(sr, 2, bitrate=64000, ms=True,
+                      window_switching=True).encode(pcm16)
+    he = splice_sbr_into_lc(core, SbrStreamWriter(
+        core_rate=24000, is_cpe=True, env_hi_shift=-12, seed=7,
+        invf_modes=(0,)))
+    frames_q, _, _, _, _ = parse_stream_qwire(he)
+    modes = np.array([(int(r[qwire.R_W2]) >> 24) & 15
+                      for f in frames_q for _, r in f])
+    w3s = np.array([int(r[qwire.R_W3]) for f in frames_q for _, r in f])
+    sh_ms = int(((((w3s >> 30) & 1) & ((w3s >> 28) & 1))
+                 * (modes == 1)).sum())
+    assert sh_ms > 0, "no short-window device-M/S spec lanes emitted"
+    pcm_np, _ = decode_adts(he)
+    new = _stereo(np.asarray(QStreamBatchDecoder([he]).decode()))
+    n = min(len(new), len(pcm_np))
+    d = np.abs(new[:n].astype(int) - pcm_np[:n].astype(int))
+    assert d.max() <= 2, f"planner: {d.max()}"
+    dec = QwirePipelinedDecoder([he] * 4, group_streams=4)
+    pcm = np.asarray(dec.decode()[0])
+    st = np.stack([pcm[:, 0, 0].reshape(-1),
+                   pcm[:, 1, 0].reshape(-1)], -1)
+    n = min(len(st), len(pcm_np))
+    d = np.abs(st[:n].astype(int) - pcm_np[:n].astype(int))
+    assert d.max() <= 2, f"native: {d.max()}"
+
+
 def test_cpe_ms_sharded():
     """Device M/S butterfly under the dp-sharded qwire decoder (the pair
     shift crosses shard boundaries via XLA's inserted collective)."""
