@@ -113,7 +113,8 @@ def main():
           f"{parse_s / (sum(dec.frame_counts[:B]) or 1) * 1e6:.1f} "
           f"us/frame/stream)", file=sys.stderr)
     heap, recs = dec._buffers(0)
-    run = qwire_scan_decoder(dec.is34, dec.ds, dec.S, dec.rate_idx, dec.NB)
+    run = qwire_scan_decoder(dec.is34, dec.ds, dec.S, dec.rate_idx,
+                             dec.NB, dec.MS, dec.NS)
     hw = jax.device_put(heap[:dec._upload_w * 4].view(np.float32))
     rw = jax.device_put(recs.view(np.float32))
     jax.block_until_ready((hw, rw))

@@ -506,7 +506,7 @@ class QwirePlanningDecoder(Decoder):
         ch0, ch1 = el.cur[0], el.cur[1]
         nmask = ch0.ics.num_window_groups * ch0.ics.max_sfb
         mask = (np.asarray(el.ms_mask[:nmask])
-                if el.ms_mask is not None else np.zeros(0, np.int32))
+                if el.ms_mask is not None else np.zeros(nmask, np.int32))
         bt0 = np.asarray(ch0.band_type[:nmask])
         bt1 = np.asarray(ch1.band_type[:nmask])
         eff = mask.astype(bool) & (bt0 < 13) & (bt1 < 13)

@@ -227,7 +227,17 @@ class Decoder:
                 if self.use_native and che.coup.coupling_point < 3:
                     # pre-IMDCT coupling needs un-TNS'd target spectra; the
                     # native engine applies TNS in-parse, so fall back to
-                    # the Python element parser from the next frame on
+                    # the Python element parser from the next frame on.
+                    # (Streams whose dependent CCE is present from frame 0
+                    # are exact — decode_frame parses frame 0 pythonically;
+                    # a mid-stream ONSET frame's targets were native-parsed
+                    # with TNS already applied, so warn: that one frame's
+                    # coupling order is inverted vs aacdec.c.)
+                    import logging
+                    logging.getLogger("heaac_tpu").warning(
+                        "dependent CCE appeared mid-stream: this frame's "
+                        "coupling applies post-TNS (reference order "
+                        "resumes next frame)")
                     self.use_native = False
                 present.append((etype, eid))
             elif etype == T.TYPE_DSE:

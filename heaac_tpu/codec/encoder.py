@@ -451,6 +451,34 @@ def _zero_band_bits(n: int, cb: int) -> int:
     return int(_band_bits_states(np.zeros((1, n), np.int64), cb)[0])
 
 
+def _rethread_sfs(cbs, sfs, had_sf) -> int:
+    """After a codebook-run trellis changes the coded-band set: bands
+    promoted from all-zero into a section ride the previous coded band's
+    scalefactor (delta 0), demoted bands drop theirs.  Returns the
+    global_gain (the first coded band's sf).  Shared by the twoloop and
+    ANMR coders (aaccoder.c:258 section layout aftermath)."""
+    nbands = len(cbs)
+    last = None
+    for i in range(nbands):
+        if cbs[i] == 0:
+            sfs[i] = 0
+            continue
+        if had_sf[i]:
+            last = int(sfs[i])
+        elif last is not None:
+            sfs[i] = last
+    first = next((i for i in range(nbands) if cbs[i]), None)
+    if first is not None and not had_sf[first]:
+        nxt = next((int(sfs[i]) for i in range(first, nbands)
+                    if cbs[i] and had_sf[i]), 100)
+        for i in range(first, nbands):
+            if cbs[i] and not had_sf[i]:
+                sfs[i] = nxt
+            elif had_sf[i]:
+                break
+    return int(sfs[first]) if first is not None else 100
+
+
 def _codebook_run_trellis(band_cost: np.ndarray, is8: bool) -> np.ndarray:
     """Optimal section layout for one window group: Viterbi over
     (band, codebook) where staying in a codebook extends the current run
@@ -726,27 +754,7 @@ class AacEncoder:
         for g in range(ngroups):
             cbs[g * nb:(g + 1) * nb] = _codebook_run_trellis(
                 band_cost[g * nb:(g + 1) * nb], is8)
-        # promoted all-zero bands ride the previous coded band's
-        # scalefactor (delta 0); demoted bands drop their sf
-        last = None
-        for i in range(nbands):
-            if cbs[i] == 0:
-                sfs[i] = 0
-                continue
-            if had_sf[i]:
-                last = int(sfs[i])
-            elif last is not None:
-                sfs[i] = last
-        first = next((i for i in range(nbands) if cbs[i]), None)
-        if first is not None and not had_sf[first]:
-            nxt = next((int(sfs[i]) for i in range(first, nbands)
-                        if cbs[i] and had_sf[i]), 100)
-            for i in range(first, nbands):
-                if cbs[i] and not had_sf[i]:
-                    sfs[i] = nxt
-                elif had_sf[i]:
-                    break
-        global_gain = (int(sfs[first]) if first is not None else 100)
+        global_gain = _rethread_sfs(cbs, sfs, had_sf)
         bits = self._count_ics_bits(an, sfs, qs, cbs, global_gain)
         return dict(sfs=sfs, qs=qs, cbs=cbs, global_gain=global_gain,
                     bits=bits)
@@ -863,28 +871,9 @@ class AacEncoder:
         for g in range(ngroups):
             cbs[g * nb:(g + 1) * nb] = _codebook_run_trellis(
                 band_cost[g * nb:(g + 1) * nb], is8)
-        # promoted all-zero bands (cb>0, no Viterbi sf) ride the previous
-        # coded band's scalefactor (delta 0); all states share one 61-wide
-        # window so any assignment keeps deltas legal
-        last = None
-        for i in range(nbands):
-            if cbs[i] == 0:
-                sfs[i] = 0
-                continue
-            if has_sf[i]:
-                last = int(sfs[i])
-            elif last is not None:
-                sfs[i] = last
-        first = next((i for i in range(nbands) if cbs[i]), None)
-        if first is not None and not has_sf[first]:
-            nxt = next((int(sfs[i]) for i in range(first, nbands)
-                        if cbs[i] and has_sf[i]), 100)
-            for i in range(first, nbands):
-                if cbs[i] and not has_sf[i] and sfs[i] == 0:
-                    sfs[i] = nxt
-                elif has_sf[i]:
-                    break
-        gg = int(sfs[first]) if first is not None else 100
+        # all states share one 61-wide window so any assignment keeps
+        # deltas legal
+        gg = _rethread_sfs(cbs, sfs, has_sf)
         bits = self._count_ics_bits(an, sfs, qs, cbs, gg)
         return dict(sfs=sfs, qs=qs, cbs=cbs, global_gain=gg, bits=bits)
 
@@ -1272,10 +1261,24 @@ class AacEncoder:
                        else self.nswb_long), np.int32)
             analyses = [self._analyze_ics(specs[c], c, ws, groups)
                         for c in range(self.channels)]
+            side_adj = 0
             if ms_mask is not None:
                 analyses[0]["ms_mask"] = ms_mask
+                # common_window saves one ics_info, adds ms_present(2) +
+                # the mask bits (_emit_frame layout)
+                info_bits = 15 if ws == EIGHT_SHORT else 11
+                side_adj += -info_bits + 2 \
+                    + (len(ms_mask) if ms_mask.any() else 0)
             if is_bands:
                 analyses[1]["is_bands"] = is_bands
+                # intensity positions ride the sf chain (the per-band
+                # quantizer counted these bands as zero runs)
+                _, sfb_t = _sf_vlc_enc()
+                prev_is = 100
+                for b in sorted(is_bands):
+                    d = is_bands[b][1] - prev_is
+                    side_adj += int(sfb_t[d + 60])
+                    prev_is = is_bands[b][1]
             code = (self._code_ics_anmr
                     if self.coder == "anmr" and target is not None
                     else self._code_ics)
@@ -1291,7 +1294,8 @@ class AacEncoder:
                 iters = 12 if t < 3 else 6
                 for _ in range(iters):
                     codeds = [code(an) for an in analyses]
-                    bits = hdr_bits + sum(c["bits"] for c in codeds)
+                    bits = hdr_bits + side_adj \
+                        + sum(c["bits"] for c in codeds)
                     ratio = bits / max(target, 1.0)
                     if ratio <= 1.02 and (best is None or bits > best[0]):
                         best = (bits, codeds, self.lam)
