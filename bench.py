@@ -114,7 +114,7 @@ def main():
           f"us/frame/stream)", file=sys.stderr)
     heap, recs = dec._buffers(0)
     run = qwire_scan_decoder(dec.is34, dec.ds, dec.S, dec.rate_idx,
-                             dec.NB, dec.MS, dec.NS)
+                             dec.NB, dec.MS, dec.NS, dec.SEC)
     hw = jax.device_put(heap[:dec._upload_w * 4].view(np.float32))
     rw = jax.device_put(recs.view(np.float32))
     jax.block_until_ready((hw, rw))

@@ -745,6 +745,9 @@ class QStreamBatchDecoder:
                       [mode == 1].any())
         self.NS = (128 if ((recs[:, :, qwire.R_W3] >> 30) & 1)
                    [mode == 1].any() else 52)
+        ns_ = ((recs[:, :, qwire.R_W3] >> 13) & 31)[mode == 1]
+        self.SEC = (max(8, -(-int(ns_.max()) // 8) * 8)
+                    if ns_.size else 8)
         self.rate_idx = parse_adts_header(
             BitReader(bytes(streams[0][:7]))).sampling_index
         self.heap_w = np.frombuffer(bytes(heap), np.float32)
@@ -766,7 +769,7 @@ class QStreamBatchDecoder:
         if self._couple is not None:
             run = qwire_scan_decoder_couple(self.is34, self.ds, self.S,
                                             self.rate_idx, self.NB,
-                                            self.MS, self.NS)
+                                            self.MS, self.NS, self.SEC)
             etgt, etch, esrc, gains = self._couple
             _, pcm = run(jax.device_put(self.heap_w),
                          jax.device_put(self.rec_w), carry,
@@ -774,7 +777,8 @@ class QStreamBatchDecoder:
                          jax.device_put(esrc), jax.device_put(gains))
             return pcm
         run = qwire_scan_decoder(self.is34, self.ds, self.S,
-                                 self.rate_idx, self.NB, self.MS, self.NS)
+                                 self.rate_idx, self.NB, self.MS, self.NS,
+                                 self.SEC)
         _, pcm = run(jax.device_put(self.heap_w),
                      jax.device_put(self.rec_w), carry)
         return pcm
@@ -827,8 +831,10 @@ def decode_qwire_flip_stream(data: bytes,
           if (mode == 1).any() else 0)
     NS = (128 if ((recs[:, :, qwire.R_W3] >> 30) & 1)[mode == 1].any()
           else 52)
+    ns_ = ((recs[:, :, qwire.R_W3] >> 13) & 31)[mode == 1]
+    SEC = max(8, -(-int(ns_.max()) // 8) * 8) if ns_.size else 8
     rate_idx = parse_adts_header(BitReader(bytes(data[:7]))).sampling_index
-    run = qwire_scan_decoder_flip(ds, S, rate_idx, NB, NS)
+    run = qwire_scan_decoder_flip(ds, S, rate_idx, NB, NS, SEC)
     carry = init_qwire_flip_carry(nl)
     _, pcm = run(jax.device_put(np.frombuffer(bytes(heap), np.float32)),
                  jax.device_put(recs.view(np.float32)), carry)
@@ -914,6 +920,7 @@ class QwirePipelinedDecoder:
         self.NB = 0              # raw-bits window (grows per parsed group)
         self.MS = 0              # any device-M/S spec pairs seen so far
         self.NS = 52             # band-axis width (128 once shorts seen)
+        self.SEC = 8             # section-axis width (grows per group)
         self.rate_idx = hdr.sampling_index
         self.L = self.G * self.nl
         self.frame_counts: list = []
@@ -1068,6 +1075,9 @@ class QwirePipelinedDecoder:
             self.MS = 1
         if ((recs[:T, :, qwire.R_W3] >> 30) & 1)[mode == 1].any():
             self.NS = 128
+        ns_ = ((recs[:T, :, qwire.R_W3] >> 13) & 31)[mode == 1]
+        if ns_.size:
+            self.SEC = max(self.SEC, -(-int(ns_.max()) // 8) * 8)
         self._cur_couple = _flatten_couple(couples, self.nl, T)
         return heap, cur, recs
 
@@ -1099,7 +1109,7 @@ class QwirePipelinedDecoder:
             if couple is not None:
                 run = qwire_scan_decoder_couple(self.is34, self.ds, self.S,
                                                 self.rate_idx, self.NB,
-                                                self.MS, self.NS)
+                                                self.MS, self.NS, self.SEC)
                 etgt, etch, esrc, gains = couple
                 _, pcm = run(jax.device_put(heap_w),
                              jax.device_put(recs[:Tg].view(np.float32)),
@@ -1109,7 +1119,7 @@ class QwirePipelinedDecoder:
                 return pcm
             run = qwire_scan_decoder(self.is34, self.ds, self.S,
                                      self.rate_idx, self.NB, self.MS,
-                                     self.NS)
+                                     self.NS, self.SEC)
             _, pcm = run(jax.device_put(heap_w),
                          jax.device_put(recs[:Tg].view(np.float32)), carry)
             return pcm

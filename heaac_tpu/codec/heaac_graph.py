@@ -202,7 +202,7 @@ def heaac_frame_qwire(coeffs, rec, heap, carry, is34: int = 0,
 
 
 def _qwire_decode_all_coeffs(heap_w, rec_w, S: int, rate_idx: int, NB: int,
-                             MS: int = 0, NS: int = 52):
+                             MS: int = 0, NS: int = 52, SEC: int = 16):
     """Shared scan prologue: byte-heap view + parallel token decode of
     every frame-lane's spectrum -> (heap, rec_seq [T,L,REC_W],
     coeffs [T,L,1024]).
@@ -230,7 +230,7 @@ def _qwire_decode_all_coeffs(heap_w, rec_w, S: int, rate_idx: int, NB: int,
             w3 = flat[:, qwire.R_W3] * mode1
             dec = spec_huff.decode_spec_jax(
                 heap, flat[:, qwire.R_TOKOFF], w3, rate_idx, NB,
-                with_ms=bool(MS), NS=NS)
+                with_ms=bool(MS), NS=NS, SEC=SEC)
             spec = dec[0] if MS else dec
             coeffs = jnp.where(mode1[:, None], spec, coeffs)
             if MS:
@@ -255,7 +255,7 @@ def _qwire_decode_all_coeffs(heap_w, rec_w, S: int, rate_idx: int, NB: int,
 @functools.cache
 def qwire_scan_decoder(is34: int, downsampled: int, S: int,
                        rate_idx: int = -1, NB: int = 0, MS: int = 0,
-                       NS: int = 52):
+                       NS: int = 52, SEC: int = 16):
     """jit of: token-decode all frames' coeffs in one parallel pass, then
     scan the fused frame graph over T frames.  heap_w is the f32-viewed
     packed byte heap; rec_seq [T, L, REC_W] i32 bit patterns as f32.
@@ -267,7 +267,7 @@ def qwire_scan_decoder(is34: int, downsampled: int, S: int,
 
     def run(heap_w, rec_w, carry):
         heap, rec_seq, coeffs = _qwire_decode_all_coeffs(
-            heap_w, rec_w, S, rate_idx, NB, MS, NS)
+            heap_w, rec_w, S, rate_idx, NB, MS, NS, SEC)
 
         def body(c, xs):
             rec_t, coef_t = xs
@@ -285,7 +285,7 @@ def qwire_scan_decoder(is34: int, downsampled: int, S: int,
 @functools.cache
 def qwire_scan_decoder_couple(is34: int, downsampled: int, S: int,
                               rate_idx: int = -1, NB: int = 0, MS: int = 0,
-                              NS: int = 52):
+                              NS: int = 52, SEC: int = 16):
     """qwire_scan_decoder with AFTER_IMDCT channel coupling: the scan
     keeps float output, then the coupling mix adds gain * src-lane time
     signal into each target (lane, stereo-sub) pair at the OUTPUT rate —
@@ -299,7 +299,7 @@ def qwire_scan_decoder_couple(is34: int, downsampled: int, S: int,
 
     def run(heap_w, rec_w, carry, etgt, etch, esrc, gains):
         heap, rec_seq, coeffs = _qwire_decode_all_coeffs(
-            heap_w, rec_w, S, rate_idx, NB, MS, NS)
+            heap_w, rec_w, S, rate_idx, NB, MS, NS, SEC)
 
         def body(c, xs):
             rec_t, coef_t = xs
@@ -342,7 +342,7 @@ def _convert_ps_flip(state: HeaacState, ph: dict, to34, to20):
 
 @functools.cache
 def qwire_scan_decoder_flip(downsampled: int, S: int, rate_idx: int = -1,
-                            NB: int = 0, NS: int = 52):
+                            NB: int = 0, NS: int = 52, SEC: int = 16):
     """Flip-capable variant of qwire_scan_decoder: the PS band mode is
     per lane per FRAME (side bit 6, qwire.build_side), so one compiled
     graph decodes streams whose 20<->34 mode flips mid-stream — the PS
@@ -356,7 +356,7 @@ def qwire_scan_decoder_flip(downsampled: int, S: int, rate_idx: int = -1,
 
     def run(heap_w, rec_w, carry):
         heap, rec_seq, coeffs = _qwire_decode_all_coeffs(
-            heap_w, rec_w, S, rate_idx, NB, 0, NS)
+            heap_w, rec_w, S, rate_idx, NB, 0, NS, SEC)
 
         def body(c, xs):
             state, ph, qc, m34_prev = c

@@ -1317,7 +1317,7 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
           prev_sf = s;
         }
       }
-    if (!bad && nsec <= 24) {
+    if (!bad && nsec <= 31) {
       int64_t bp0 = b->pos;
       if (walk_spectrum(b, ch, sc->bandpos) == 0
           && sc->bandpos[nbands] - sc->bandpos[0] < (1 << 13)) {

@@ -35,7 +35,8 @@ import numpy as np
 
 from ..tables import aac_tables as T
 
-SEC_MAX = 24          # sections per lane (host falls back beyond)
+SEC_MAX = 31          # wire bound: sections per lane (5-bit w3 field;
+                      # the device sizes its section axis per batch)
 NS_MAX = 52           # swb count bound (num_swb_1024 <= 51)
 NC_MAX = 512          # codes per lane (pairs cover 1024 bins)
 
@@ -233,7 +234,8 @@ def pack_spec_block(sections, sf_idx, spec_bits: bytes, nbits: int,
 # Device decoder (jax)
 # =============================================================================
 def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int,
-                    with_ms: bool = False, NS: int = NS_MAX):
+                    with_ms: bool = False, NS: int = NS_MAX,
+                    SEC: int = SEC_MAX):
     """heap [N] i32 (byte values), off [B] spec-block byte offsets,
     w3 [B] packed (nbits | nsec<<13 | sfidx0<<18 | flags) ->
     coeffs [B, 1024] f32 — or (coeffs, ms_mask [B, 1024] i32) when
@@ -287,7 +289,7 @@ def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int,
     smap = off + short              # grouping byte precedes the sections
 
     # ---- section table ------------------------------------------------------
-    s24 = jnp.arange(SEC_MAX)[None, :]
+    s24 = jnp.arange(SEC)[None, :]
     so = smap[:, None] + 3 * s24
     u24 = g(so) | (g(so + 1) << 8) | (g(so + 2) << 16)
     valid_s = s24 < nsec[:, None]
@@ -320,7 +322,7 @@ def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int,
     # ---- per-band (read order: group-major for shorts) ----------------------
     f52 = jnp.arange(NS)[None, :]
     sec_of_f = (f52[:, :, None] >= sfb_end[:, None, :]).sum(-1)  # [B,NS]
-    cb_f = jnp.take_along_axis(cb_s, sec_of_f.clip(0, SEC_MAX - 1), axis=1)
+    cb_f = jnp.take_along_axis(cb_s, sec_of_f.clip(0, SEC - 1), axis=1)
     in_f = f52 < total_sfb[:, None]
     coded_f = (cb_f >= 1) & (cb_f <= 11) & in_f
     rank_f = jnp.cumsum(coded_f.astype(jnp.int32), axis=1) - coded_f
@@ -368,7 +370,7 @@ def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int,
 
     idx16 = bits_at(i, 16)
     sec_of_i = (i[:, :, None] >= bit_end[:, None, :]).sum(-1)
-    cb_i = jnp.take_along_axis(cb_s, sec_of_i.clip(0, SEC_MAX - 1), axis=1)
+    cb_i = jnp.take_along_axis(cb_s, sec_of_i.clip(0, SEC - 1), axis=1)
     cb_ok = (cb_i >= 1) & (cb_i <= 11)
     ent = lut[((cb_i.clip(1, 11) - 1) << 16) + idx16]
     clen = ent & 31

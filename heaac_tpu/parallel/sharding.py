@@ -145,7 +145,7 @@ class ShardedQwireDecoder:
                 # collective for the cross-shard gather
                 run = qwire_scan_decoder_couple(dec.is34, dec.ds, dec.S,
                                                 dec.rate_idx, dec.NB,
-                                                dec.MS, dec.NS)
+                                                dec.MS, dec.NS, dec.SEC)
                 etgt, etch, esrc, gains = dec._cur_couple
                 _, pcm = run(heap_w, rec_w, carry,
                              jax.device_put(etgt, self._sh_rep),
@@ -155,7 +155,7 @@ class ShardedQwireDecoder:
             else:
                 run = qwire_scan_decoder(dec.is34, dec.ds, dec.S,
                                          dec.rate_idx, dec.NB, dec.MS,
-                                         dec.NS)
+                                         dec.NS, dec.SEC)
                 _, pcm = run(heap_w, rec_w, carry)
             outs.append(pcm)
         jax.block_until_ready(outs[-1])
