@@ -431,8 +431,12 @@ def decode_ics(br: BitReader, cd: ChannelData, sampling_index: int,
     if not common_window:
         decode_ics_info(br, ics, sampling_index, object_type, 0)
     cd.band_type, cd.band_type_run_end = decode_band_types(br, ics)
+    sfpos0 = br.pos
     cd.sf = decode_scalefactors(br, global_gain, ics, cd.band_type,
                                 cd.band_type_run_end)
+    # sf-region bit span for the raw-bits wire mode (the device decodes
+    # the bitstream's own sf-huffman chain, ops/spec_huff.py)
+    cd.spec_sfpos = (sfpos0, br.pos) if CAPTURE_SPEC else None
     pulse = None
     if br.get1():
         if ics.window_sequence == T.EIGHT_SHORT:

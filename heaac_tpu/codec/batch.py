@@ -451,7 +451,11 @@ class QwirePlanningDecoder(Decoder):
         nbits = bp[-1] - bp[0]
         if nbits >= (1 << 13):
             return None
-        secs, sf_idx = [], []
+        sfpos = getattr(cd, "spec_sfpos", None)
+        if sfpos is None or sfpos[1] - sfpos[0] > SH.SFB - 24:
+            return None              # sf region must fit the device axis
+        secs = []
+        sfidx0 = None
         for grp in range(ics.num_window_groups):
             i = 0
             while i < ics.max_sfb:   # runs never cross a group boundary
@@ -465,20 +469,18 @@ class QwirePlanningDecoder(Decoder):
                 if blen >= (1 << 14):
                     return None
                 secs.append((cb, j - i, blen))
-                if cb >= 1:
-                    for f in range(i, j):
-                        idx = qwire.sfidx_from_sf(
-                            cd.sf[grp * ics.max_sfb + f])
-                        if idx is None:
-                            return None
-                        sf_idx.append(idx)
+                if cb >= 1 and sfidx0 is None:
+                    sfidx0 = qwire.sfidx_from_sf(
+                        cd.sf[grp * ics.max_sfb + i])
+                    if sfidx0 is None:
+                        return None
                 i = j
         if len(secs) > SH.SEC_MAX:
             return None
-        for a, b in zip(sf_idx[:-1], sf_idx[1:]):
-            if not SH.SF_D_LO <= b - a <= SH.SF_D_HI:
-                return None
-        bits = qwire.extract_bits(self._cur_packet, bp[0], bp[-1])
+        # raw bits: the sf-huffman region then the spectral region (the
+        # pulse/TNS/SSR flags between them are NOT shipped)
+        bits = SH.concat_bit_ranges(self._cur_packet,
+                                    [sfpos, (bp[0], bp[-1])])
         grouping = None
         if is8:
             # bit (7-w) set iff window w shares window w-1's group
@@ -489,7 +491,7 @@ class QwirePlanningDecoder(Decoder):
                     if r >= 1:
                         grouping |= 1 << (7 - w)
                     w += 1
-        return SH.pack_spec_block(secs, sf_idx, bits, nbits,
+        return SH.pack_spec_block(secs, sfidx0 or 0, bits, nbits,
                                   ms_mask=ms_mask, grouping=grouping)
 
     def _try_spec_cpe(self, el):

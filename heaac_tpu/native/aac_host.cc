@@ -454,6 +454,7 @@ struct SpecCap {
   uint8_t band_cb[120];
   uint16_t sfw[120];
   int64_t bandpos[121];
+  int64_t sf_start = 0, sf_end = 0;  // sf-huffman region bit span
   const uint8_t* buf = nullptr;
   int64_t nbits = 0;
   // device-M/S CPE pairs (raw bits predate the host butterfly):
@@ -1271,7 +1272,9 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
     if (r) return r;
   }
   if (parse_band_types(b, ch)) return -1;
+  int64_t sf_start = b->pos;   // sf-region bit span (raw-bits wire mode)
   if (parse_scalefactors(b, ch, global_gain)) return -1;
+  int64_t sf_end = b->pos;
   int pulse_pos[4], pulse_amp[4], pulse_count = 0;
   if (getbit(b)) {
     if (ch->ics.window_sequence == 2) return -1;
@@ -1295,7 +1298,7 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
       && (is8 || ch->ics.num_window_groups == 1)
       && !ch->tns.present && !pulse_count
       && ch->ics.max_sfb > 0 && nbands <= 120) {
-    int bad = 0, nsec = 0, prev_sf = -1;
+    int bad = 0, nsec = 0;
     for (int g = 0, idx = 0; g < ch->ics.num_window_groups && !bad; g++)
       for (int i = 0; i < ch->ics.max_sfb; i++, idx++) {
         int bt = ch->band_type[idx];
@@ -1305,18 +1308,10 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
         }
         // runs never cross a group boundary (section_data is per group)
         if (i == 0 || bt != ch->band_type[idx - 1]) nsec++;
-        if (bt >= 1) {
-          int s = ch->sfwb[idx];
-          if (prev_sf >= 0) {
-            int d = s - prev_sf;
-            if (d < -31 || d > 32) {
-              bad = 1;
-              break;
-            }
-          }
-          prev_sf = s;
-        }
       }
+    // the sf region ships as raw bits; it must fit the device's SFB
+    // classify axis (ops/spec_huff.SFB = 768, margin for window reads)
+    if (sf_end - sf_start > 768 - 24) bad = 1;
     if (!bad && nsec <= 31) {
       int64_t bp0 = b->pos;
       if (walk_spectrum(b, ch, sc->bandpos) == 0
@@ -1337,6 +1332,8 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
           sc->band_cb[i] = (uint8_t)ch->band_type[i];
           sc->sfw[i] = ch->sfwb[i];
         }
+        sc->sf_start = sf_start;
+        sc->sf_end = sf_end;
         sc->buf = b->buf;
         sc->nbits = b->nbits;
         return 0;

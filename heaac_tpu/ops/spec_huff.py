@@ -84,6 +84,25 @@ def luts() -> np.ndarray:
 CB_DIM = np.array([0, 4, 4, 4, 4, 2, 2, 2, 2, 2, 2, 2], np.int32)
 CB_UNSIGNED = np.array([0, 0, 0, 1, 1, 0, 0, 1, 1, 1, 1, 1], np.int32)
 
+SFB = 768             # sf-region classify width in bits (codes are 1-19
+                      # bits x <=120 bands; emitters gate the region size)
+_SF_LUT = None
+
+
+def sf_lut() -> np.ndarray:
+    """[2^19] u32 scalefactor-huffman table: len (bits 0-4, 31 = invalid)
+    | value index 0..120 << 5 (delta = idx - 60; aactab.c sf codebook)."""
+    global _SF_LUT
+    if _SF_LUT is None:
+        codes, bits = T.scalefactor_codes()
+        ent = np.full(1 << 19, 31, np.uint32)
+        for ci in range(len(codes)):
+            ln = int(bits[ci])
+            base = int(codes[ci]) << (19 - ln)
+            ent[base:base + (1 << (19 - ln))] = ln | (ci << 5)
+        _SF_LUT = ent.view(np.int32)
+    return _SF_LUT
+
 
 @functools.cache
 def sfb_of_bin(sampling_index: int) -> np.ndarray:
@@ -182,18 +201,22 @@ W3_MS_RIGHT = 1 << 29  # lane is the RIGHT channel (mask rides the left lane)
 W3_SHORT = 1 << 30     # EIGHT_SHORT lane: grouping byte leads the block
 
 
-def pack_spec_block(sections, sf_idx, spec_bits: bytes, nbits: int,
+def pack_spec_block(sections, sfidx0: int, raw_bits: bytes, nbits: int,
                     ms_mask=None, grouping=None):
-    """sections: list of (cb, nsfb, bitlen); sf_idx: per-CODED-band pow2sf
-    indices (first entry becomes sfw0 in the record word; the rest travel
-    as packed 6-bit deltas — callers fall back to token mode when a delta
-    leaves [-31, 32]).  ``ms_mask``, if given, is the per-sfb M/S mask
-    (length == total sfb count) packed MSB-first after the section map —
-    the device butterflies the pair (aacdec.c:1390-1411) since raw-bits
-    lanes ship PRE-M/S spectra.  ``grouping``, if given, marks an
-    EIGHT_SHORT lane: the 7-bit scale_factor_grouping field leads the
-    block and sections run (group, sfb)-major.  Returns (block bytes, w3)
-    where w3 = nbits | nsec<<13 | sfidx0<<18 [| flags]."""
+    """sections: list of (cb, nsfb, bitlen); sfidx0: the FIRST coded
+    band's absolute pow2sf index (rides the record word — the raw sf
+    region's first code is a delta vs global_gain, which sfidx0 already
+    embodies).  ``raw_bits`` is the lane's sf-huffman region immediately
+    followed by its spectral region (two bitstream slices concatenated
+    MSB-first; the device splits them by lifting the sf chain), and
+    ``nbits`` counts the SPECTRAL bits only.  ``ms_mask``, if given, is
+    the per-sfb M/S mask (length == total sfb count) packed MSB-first
+    after the section map — the device butterflies the pair
+    (aacdec.c:1390-1411) since raw-bits lanes ship PRE-M/S spectra.
+    ``grouping``, if given, marks an EIGHT_SHORT lane: the 7-bit
+    scale_factor_grouping field leads the block and sections run
+    (group, sfb)-major.  Returns (block bytes, w3) where
+    w3 = nbits | nsec<<13 | sfidx0<<18 [| flags]."""
     b = bytearray()
     if grouping is not None:
         b.append(grouping & 0x7F)
@@ -212,22 +235,34 @@ def pack_spec_block(sections, sf_idx, spec_bits: bytes, nbits: int,
                 mb[f >> 3] |= 1 << (7 - (f & 7))
         b += mb
         ms_flag = W3_MS_MASK
-    sfidx0 = int(sf_idx[0]) if len(sf_idx) else 0
-    prev = sfidx0
-    sfw = BitWriter()
-    for s in sf_idx:
-        d = int(s) - prev
-        assert SF_D_LO <= d <= SF_D_HI
-        sfw.put(d - SF_D_LO, 6)
-        prev = int(s)
-    b += sfw.tobytes()
-    b += spec_bits
+    b += raw_bits
     assert nbits < (1 << 13) and len(sections) <= SEC_MAX
     assert 0 <= sfidx0 < 512
-    w3 = nbits | (len(sections) << 13) | (sfidx0 << 18) | ms_flag
+    w3 = nbits | (len(sections) << 13) | (int(sfidx0) << 18) | ms_flag
     if grouping is not None:
         w3 |= W3_SHORT
     return bytes(b), w3
+
+
+def concat_bit_ranges(data: bytes, ranges) -> bytes:
+    """Extract [a, b) bit ranges (MSB-first positions into ``data``) and
+    concatenate them MSB-first into bytes (zero-padded tail)."""
+    acc, n = 0, 0
+    for a, b in ranges:
+        nb = b - a
+        if nb <= 0:
+            continue
+        want = ((b + 7) >> 3) - (a >> 3)
+        seg = data[a >> 3:(b + 7) >> 3]
+        if len(seg) < want:           # range tail past the buffer: zeros
+            seg = seg + b"\0" * (want - len(seg))
+        chunk = int.from_bytes(seg, "big")
+        chunk >>= want * 8 - (a & 7) - nb
+        chunk &= (1 << nb) - 1
+        acc = (acc << nb) | chunk
+        n += nb
+    nbytes = (n + 7) // 8
+    return (acc << (nbytes * 8 - n)).to_bytes(nbytes, "big")
 
 
 # =============================================================================
@@ -336,29 +371,53 @@ def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int,
     sizes_f = coded_f * jnp.where(shortB, glen_f, 1) * bw_f
     cumsz_f = jnp.cumsum(sizes_f, axis=1)
     starts_f = cumsz_f - sizes_f                  # coded-bin start per band
-    sf_base = smap + 3 * nsec + mask_bytes
-    # 6-bit packed deltas at bit 6*rank of the sf region (first is 0)
-    q6 = 6 * rank_f
-    sb_ = sf_base[:, None] + (q6 >> 3)
-    w6 = (g(sb_) << 16) | (g(sb_ + 1) << 8) | g(sb_ + 2)
-    fld = (w6 >> (24 - (q6 & 7) - 6)) & 63
-    d_f = (fld + SF_D_LO) * coded_f
-    # the first coded band's DELTA is 0 by construction (field = 31,
-    # i.e. -SF_D_LO), so a plain cumsum from sfidx0 is exact
-    sfidx_f = sfidx0[:, None] + jnp.cumsum(d_f, axis=1)
+    # raw-bits region: the lane's sf-huffman codes (the BITSTREAM's own
+    # scalefactor deltas, 1-19 bits each) immediately followed by its
+    # spectral codes — two bitstream slices the emitters concatenate
+    bits_base = smap + 3 * nsec + mask_bytes
+
+    def bits_at0(q, m):
+        """m (<=14) bits at bit position q within the raw-bits region."""
+        ab = bits_base.reshape((-1,) + (1,) * (q.ndim - 1)) + (q >> 3)
+        w = (g(ab) << 16) | (g(ab + 1) << 8) | g(ab + 2)
+        return (w >> (24 - (q & 7) - m)) & ((1 << m) - 1)
+
+    # ---- scalefactor huffman decode (region prefix) --------------------------
+    # same speculate+lift scheme as the spectral decode: classify every
+    # bit offset with the 19-bit sf table, lift the advance chain, read
+    # code r's value at offs_s[r] (decode_scalefactors' vlc chain)
+    sflut_t = jnp.asarray(sf_lut())
+    qsf = jnp.arange(SFB)[None, :]
+    w19 = bits_at0(qsf, 14) * 32 + bits_at0(qsf + 14, 5)
+    ent_s = sflut_t[w19]
+    len_s = ent_s & 31
+    Js = jnp.minimum(qsf + jnp.where(len_s < 31, len_s, SFB), SFB)
+    Tks = jnp.concatenate([Js, jnp.full((B, 1), SFB, Js.dtype)], axis=1)
+    offs_s = jnp.zeros((B, 1), jnp.int32)
+    for k in range(7):                            # 2^7 = 128 > 120 bands
+        step = jnp.take_along_axis(Tks, offs_s.clip(0, SFB), axis=1)
+        offs_s = jnp.concatenate([offs_s, step], axis=1)
+        if k < 6:
+            Tks = jnp.take_along_axis(Tks, Tks.clip(0, SFB), axis=1)
+    sfe = jnp.take_along_axis(offs_s, nsf[:, None].clip(0, 127), axis=1)
+    # per-band delta: rank 0's bitstream delta is vs global_gain, which
+    # the record's absolute sfidx0 already embodies — exclude its value
+    # (its BITS are still consumed by the chain above)
+    dsel = jnp.take_along_axis(offs_s, rank_f.clip(0, 127), axis=1)
+    dval = (jnp.take_along_axis(ent_s, dsel.clip(0, SFB - 1), axis=1)
+            >> 5) - 60
+    delta_f = jnp.where(coded_f & (rank_f >= 1), dval, 0)
+    sfidx_f = sfidx0[:, None] + jnp.cumsum(delta_f, axis=1)
     sf_f = -pow2[sfidx_f.clip(0, 427) & 511]      # normal bands: negative
 
-    # ---- per-bit-offset classification -------------------------------------
-    bits_base = sf_base + (6 * nsf + 7) // 8      # byte offset of spec bits
+    # ---- per-bit-offset classification (spectral region at offset sfe) ------
     i = jnp.arange(NBITS)[None, :]
     live = i < nbits[:, None]
 
     def bits_at(q, m):
-        """m (<=14) bits at absolute bit position q [B,*] within the
-        lane's spec bit region (q is relative to bits_base)."""
-        ab = bits_base.reshape((-1,) + (1,) * (q.ndim - 1)) + (q >> 3)
-        w = (g(ab) << 16) | (g(ab + 1) << 8) | g(ab + 2)
-        return (w >> (24 - (q & 7) - m)) & ((1 << m) - 1)
+        """Spectral-region read: position q is relative to the end of
+        the sf prefix (sfe, a per-lane dynamic offset)."""
+        return bits_at0(q + sfe.reshape((-1,) + (1,) * (q.ndim - 1)), m)
 
     def ones_at(q):
         """Leading-1s count (escape prefix N <= 8) at bit position q."""

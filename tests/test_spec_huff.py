@@ -1,6 +1,7 @@
 """Parallel spectral-Huffman device decode (ops/spec_huff.py) vs a direct
 host computation, over randomized sections exercising every codebook,
-sign-bit packing, cb11 escapes, and the sf delta chain."""
+sign-bit packing, cb11 escapes, and the raw sf-huffman prefix chain
+(full +-60 delta range)."""
 import numpy as np
 import pytest
 
@@ -30,7 +31,9 @@ def make_lane(rng, sampling_index):
     expected = np.zeros(1024, np.float32)
     cbrt = cbrt_tab()
     pow2 = pow2sf_tab()
-    sf_idx = []
+    sfc, sfb = T.scalefactor_codes()
+    sf_bw = SH.BitWriter()
+    sfidx0 = 0
     sections = []
     cur_sf = None
     for cb, a, b in secs:
@@ -51,13 +54,17 @@ def make_lane(rng, sampling_index):
             q = rng.integers(-lav, lav + 1, nvals)
         else:
             q = rng.choice([-1, 1], nvals) * rng.integers(0, lav + 1, nvals)
-        # per-sfb scalefactors (random walk)
+        # per-sfb scalefactors (random walk, full vlc +-60 range)
         for f in range(a, b):
-            step = 0 if cur_sf is None else int(
-                rng.integers(SH.SF_D_LO, SH.SF_D_HI + 1))
+            step = 0 if cur_sf is None else int(rng.integers(-60, 61))
             nsf = 200 if cur_sf is None else \
-                int(np.clip(cur_sf + step, 185, 427))
-            sf_idx.append(nsf)
+                int(np.clip(cur_sf + step, 150, 427))
+            if cur_sf is None:
+                sfidx0 = nsf
+                d = 0      # first code is vs global_gain: value ignored
+            else:
+                d = nsf - cur_sf
+            sf_bw.put(int(sfc[d + 60]), int(sfb[d + 60]))
             w0, w1 = int(off[f]), int(off[f + 1])
             sfv = -np.float32(pow2[nsf])
             for p in range(w0, w1):
@@ -72,13 +79,14 @@ def make_lane(rng, sampling_index):
         bw_all.append((len(bw.bits), bw.tobytes(), cb, nsfb))
         sections.append((cb, nsfb, len(bw.bits)))
 
-    # concatenate section bit strings at bit granularity
+    # raw bits: sf region then the section bit strings, bit-concatenated
     allbits = SH.BitWriter()
+    allbits.bits.extend(sf_bw.bits)
     for nb, by, cb, _ in bw_all:
         for i in range(nb):
             allbits.put((by[i >> 3] >> (7 - (i & 7))) & 1, 1)
-    nbits = len(allbits.bits)
-    block, w3 = SH.pack_spec_block(sections, sf_idx, allbits.tobytes(),
+    nbits = len(allbits.bits) - len(sf_bw.bits)     # SPECTRAL bits
+    block, w3 = SH.pack_spec_block(sections, sfidx0, allbits.tobytes(),
                                    nbits)
     return block, w3, expected
 
