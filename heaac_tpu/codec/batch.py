@@ -736,20 +736,13 @@ class QStreamBatchDecoder:
             heap += b"\0" * (4 - len(heap) % 4)
         self.S = max(64, int((recs[:, :, qwire.R_W1] & 0xFFFF).max()))
         self.S = -(-self.S // 64) * 64
-        mode = (recs[:, :, qwire.R_W2] >> 24) & 15
-        nb = (recs[:, :, qwire.R_W3] & 0x1FFF) * (mode == 1)
-        # gate on mode-1 PRESENCE: a zero-spectrum spec lane (nbits==0,
-        # nsec>0) must still route through the spec decoder, or its
-        # section-map bytes get token-decoded as garbage
-        self.NB = (max(256, -(-int(nb.max()) // 256) * 256)
-                   if (mode == 1).any() else 0)
-        self.MS = int(((recs[:, :, qwire.R_W3] >> 28) & 3)
-                      [mode == 1].any())
-        self.NS = (128 if ((recs[:, :, qwire.R_W3] >> 30) & 1)
-                   [mode == 1].any() else 52)
-        ns_ = ((recs[:, :, qwire.R_W3] >> 13) & 31)[mode == 1]
-        self.SEC = (max(8, -(-int(ns_.max()) // 8) * 8)
-                    if ns_.size else 8)
+        # static jit axes of the device spectral decode, keyed on mode-1
+        # PRESENCE: a zero-spectrum spec lane (nbits==0, nsec>0) must
+        # still route through the spec decoder, or its section-map bytes
+        # get token-decoded as garbage
+        sa = qwire.spec_static_args(recs)
+        self.NB, self.MS = sa["NB"], sa["MS"]
+        self.NS, self.SEC = sa["NS"], sa["SEC"]
         self.rate_idx = parse_adts_header(
             BitReader(bytes(streams[0][:7]))).sampling_index
         self.heap_w = np.frombuffer(bytes(heap), np.float32)
@@ -827,14 +820,8 @@ def decode_qwire_flip_stream(data: bytes,
         heap += b"\0" * (4 - len(heap) % 4)
     S = max(64, int((recs[:, :, qwire.R_W1] & 0xFFFF).max()))
     S = -(-S // 64) * 64
-    mode = (recs[:, :, qwire.R_W2] >> 24) & 15
-    nb = (recs[:, :, qwire.R_W3] & 0x1FFF) * (mode == 1)
-    NB = (max(256, -(-int(nb.max()) // 256) * 256)
-          if (mode == 1).any() else 0)
-    NS = (128 if ((recs[:, :, qwire.R_W3] >> 30) & 1)[mode == 1].any()
-          else 52)
-    ns_ = ((recs[:, :, qwire.R_W3] >> 13) & 31)[mode == 1]
-    SEC = max(8, -(-int(ns_.max()) // 8) * 8) if ns_.size else 8
+    sa = qwire.spec_static_args(recs)
+    NB, NS, SEC = sa["NB"], sa["NS"], sa["SEC"]
     rate_idx = parse_adts_header(BitReader(bytes(data[:7]))).sampling_index
     run = qwire_scan_decoder_flip(ds, S, rate_idx, NB, NS, SEC)
     carry = init_qwire_flip_carry(nl)
@@ -1066,20 +1053,13 @@ class QwirePipelinedDecoder:
         maxtok = int((recs[:T, :, qwire.R_W1] & 0xFFFF).max())
         if maxtok > self.S:   # pathological stream: widen + recompile
             self.S = -(-maxtok // 64) * 64
-        mode = (recs[:T, :, qwire.R_W2] >> 24) & 15
-        nb = (recs[:T, :, qwire.R_W3] & 0x1FFF) * (mode == 1)
-        # gate on mode-1 presence (zero-spectrum spec lanes have nbits 0)
-        nbmax = (max(256, -(-int(nb.max()) // 256) * 256)
-                 if (mode == 1).any() else 0)
-        if nbmax > self.NB:
-            self.NB = nbmax
-        if ((recs[:T, :, qwire.R_W3] >> 28) & 3)[mode == 1].any():
-            self.MS = 1
-        if ((recs[:T, :, qwire.R_W3] >> 30) & 1)[mode == 1].any():
-            self.NS = 128
-        ns_ = ((recs[:T, :, qwire.R_W3] >> 13) & 31)[mode == 1]
-        if ns_.size:
-            self.SEC = max(self.SEC, -(-int(ns_.max()) // 8) * 8)
+        # the static spectral-decode axes grow monotonically per group
+        # (a growth recompiles the scan once)
+        sa = qwire.spec_static_args(recs[:T])
+        self.NB = max(self.NB, sa["NB"])
+        self.MS = max(self.MS, sa["MS"])
+        self.NS = max(self.NS, sa["NS"])
+        self.SEC = max(self.SEC, sa["SEC"])
         self._cur_couple = _flatten_couple(couples, self.nl, T)
         return heap, cur, recs
 

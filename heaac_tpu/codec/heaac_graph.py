@@ -202,7 +202,7 @@ def heaac_frame_qwire(coeffs, rec, heap, carry, is34: int = 0,
 
 
 def _qwire_decode_all_coeffs(heap_w, rec_w, S: int, rate_idx: int, NB: int,
-                             MS: int = 0, NS: int = 52, SEC: int = 16):
+                             MS: int = 0, NS: int = 52, SEC: int = 31):
     """Shared scan prologue: byte-heap view + parallel token decode of
     every frame-lane's spectrum -> (heap, rec_seq [T,L,REC_W],
     coeffs [T,L,1024]).
@@ -255,7 +255,7 @@ def _qwire_decode_all_coeffs(heap_w, rec_w, S: int, rate_idx: int, NB: int,
 @functools.cache
 def qwire_scan_decoder(is34: int, downsampled: int, S: int,
                        rate_idx: int = -1, NB: int = 0, MS: int = 0,
-                       NS: int = 52, SEC: int = 16):
+                       NS: int = 52, SEC: int = 31):
     """jit of: token-decode all frames' coeffs in one parallel pass, then
     scan the fused frame graph over T frames.  heap_w is the f32-viewed
     packed byte heap; rec_seq [T, L, REC_W] i32 bit patterns as f32.
@@ -285,7 +285,7 @@ def qwire_scan_decoder(is34: int, downsampled: int, S: int,
 @functools.cache
 def qwire_scan_decoder_couple(is34: int, downsampled: int, S: int,
                               rate_idx: int = -1, NB: int = 0, MS: int = 0,
-                              NS: int = 52, SEC: int = 16):
+                              NS: int = 52, SEC: int = 31):
     """qwire_scan_decoder with AFTER_IMDCT channel coupling: the scan
     keeps float output, then the coupling mix adds gain * src-lane time
     signal into each target (lane, stereo-sub) pair at the OUTPUT rate —
@@ -342,7 +342,7 @@ def _convert_ps_flip(state: HeaacState, ph: dict, to34, to20):
 
 @functools.cache
 def qwire_scan_decoder_flip(downsampled: int, S: int, rate_idx: int = -1,
-                            NB: int = 0, NS: int = 52, SEC: int = 16):
+                            NB: int = 0, NS: int = 52, SEC: int = 31):
     """Flip-capable variant of qwire_scan_decoder: the PS band mode is
     per lane per FRAME (side bit 6, qwire.build_side), so one compiled
     graph decodes streams whose 20<->34 mode flips mid-stream — the PS

@@ -76,7 +76,28 @@ R_W1 = 1                # w1: ntok (u16) | n_ext (u16)<<16
 R_W2 = 2                # w2: side_len (u16) | hdr_len (u8)<<16 | mode<<24
 R_W3 = 3                # w3: reserved (specbits mode, see
                         # spec_huff.pack_spec_block:
-                        # nbits(13) | nsec<<13 | sfidx0<<18)
+                        # nbits(13) | nsec<<13 | sfidx0<<18 | flags<<27)
+
+
+def spec_static_args(recs) -> dict:
+    """The per-batch static sizes of the device spectral-Huffman decode
+    (the jit specialization axes), read from a [.., REC_W] record array:
+    NB (bit-axis width, 0 = no spec lanes), MS (any device-M/S pairs),
+    NS (band-axis width), SEC (section-axis width).  Single reader of
+    the w3 field layout — keep in sync with spec_huff.pack_spec_block."""
+    import numpy as np
+    w2 = np.asarray(recs[..., R_W2])
+    w3 = np.asarray(recs[..., R_W3])
+    spec = ((w2 >> 24) & 15) == 1
+    if not spec.any():
+        return dict(NB=0, MS=0, NS=52, SEC=8)
+    w3s = w3[spec]
+    nb = int((w3s & 0x1FFF).max())
+    return dict(
+        NB=max(256, -(-nb // 256) * 256),
+        MS=int((((w3s >> 28) & 3) != 0).any()),
+        NS=128 if ((w3s >> 30) & 1).any() else 52,
+        SEC=max(8, -(-int(((w3s >> 13) & 31).max()) // 8) * 8))
 
 # ---- side block v2 (packed head) -------------------------------------------
 # b0: ws(2) | kbd<<2 | err<<3 | hsl_on<<4 | ampres<<5 | bw_present<<6

@@ -16,11 +16,12 @@ at every bit offset and resolving the true code chain afterwards:
   3. map output bins to codes with the same cumsum + binary-search
      machinery as the token decoder and dequantize in place.
 
-The wire ships the *raw bitstream bits* of the spectral section (plus a
-3-byte-per-section map and per-band scalefactor deltas) — near the
-bitstream's own entropy, ~1.8x smaller than the byte-token encoding, and
-the host parser only has to *length-walk* the section instead of decoding
-it.
+The wire ships the *raw bitstream bits* of the scalefactor AND spectral
+regions (plus a 3-byte-per-section map) — the bitstream's own entropy,
+~1.9x smaller than the byte-token encoding — and the scalefactor
+delta chain decodes on device with the same speculate+lift scheme
+(19-bit flat sf table).  The host parser only *length-walks* the
+regions instead of decoding them.
 
 Bit conventions match get_bits.h: MSB-first within bytes.  Escape
 sequences (codebook 11, |v|==16): N leading 1s, a 0, then N+4 mantissa
@@ -191,8 +192,6 @@ def encode_section(bw: BitWriter, cb: int, q: np.ndarray) -> None:
             bw.put(0, 1)
             bw.put(av - (1 << n), n)
 
-
-SF_D_LO, SF_D_HI = -31, 32    # 6-bit packed sf deltas (d + 31)
 
 # w3 flag bits (above the nbits/nsec/sfidx0 fields):
 W3_MS_MASK = 1 << 27   # block carries an M/S band mask after the section map
@@ -377,7 +376,8 @@ def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int,
     bits_base = smap + 3 * nsec + mask_bytes
 
     def bits_at0(q, m):
-        """m (<=14) bits at bit position q within the raw-bits region."""
+        """m bits at bit position q within the raw-bits region (3-byte
+        window: (q & 7) + m <= 24, so m <= 17)."""
         ab = bits_base.reshape((-1,) + (1,) * (q.ndim - 1)) + (q >> 3)
         w = (g(ab) << 16) | (g(ab + 1) << 8) | g(ab + 2)
         return (w >> (24 - (q & 7) - m)) & ((1 << m) - 1)
