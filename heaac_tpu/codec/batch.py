@@ -1021,12 +1021,15 @@ class QwirePipelinedDecoder:
             log.info("qwire pipelined decode: stream %d fell back to the "
                      "Python planner", gi)
             errs: list = []
-            info: dict = {}
+            # NOT named `info`: that would shadow the native path's i32
+            # result array for the REST of the group (the later
+            # `int(info[0])` layout check would read this dict)
+            pinfo: dict = {}
             frames_q, rate2, nl2, is34_2, ds2 = parse_stream_qwire(
-                data, max_frames=T, err_out=errs, info_out=info)
+                data, max_frames=T, err_out=errs, info_out=pinfo)
             if n_real is None or gi < n_real:
                 self.error_count += errs[0]
-                couples[gi] = info.get("couple")
+                couples[gi] = pinfo.get("couple")
             if (rate2, nl2, is34_2, ds2) != (self.sample_rate, self.nl,
                                              self.is34, self.ds):
                 raise ValueError(
@@ -1681,10 +1684,26 @@ def decode_batch(streams: list) -> list:
     from ..bitstream.reader import BitReader
     from .decoder import Decoder
 
+    from ..utils.metrics import log
+
     native_ok = native.available()
+    streams = list(streams)
     buckets: dict = {}
     meta = []
+    results_pre: dict = {}
     for i, data in enumerate(streams):
+        if len(data) < 7 or data[0] != 0xFF or (data[1] & 0xF0) != 0xF0:
+            # leading garbage: resync on the first real syncword like the
+            # reference splitter (aac_ac3_parser.c:44-48 sync scan)
+            frames = split_adts_stream(data)
+            if not frames:
+                log.warning("decode_batch: stream %d has no ADTS "
+                            "syncword; returning empty", i)
+                results_pre[i] = np.zeros((0, 1), np.int16)
+                meta.append(None)
+                continue
+            data = b"".join(frames)
+            streams[i] = data
         hdr = parse_adts_header(BitReader(data[:7]))
         # cheap probe: the native front-end length-walks two frames
         # (~10 us/stream); the Python full-decode probe is the fallback
@@ -1711,6 +1730,8 @@ def decode_batch(streams: list) -> list:
         meta.append(key)
 
     results: list = [None] * len(streams)
+    for i, r in results_pre.items():
+        results[i] = r
     for key, idxs in buckets.items():
         _decode_bucket_retry(key, idxs, streams, results)
     return results
