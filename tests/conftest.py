@@ -29,6 +29,27 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Evict live jitted executables between test modules.
+
+    A full-suite single process accumulates ~100 compiled scan variants;
+    past that, the XLA CPU compiler segfaults compiling the next graph
+    (reproducible at tests/test_spec_short.py in a full run, never in
+    isolation).  The persistent compilation cache keeps the re-loads
+    cheap; only the in-memory executables are dropped."""
+    yield
+    jax.clear_caches()
+    # the graph builders memoize jitted closures keyed on static sizes;
+    # drop them so the cleared executables are not resurrected stale
+    from heaac_tpu.codec import heaac_graph
+    for name in dir(heaac_graph):
+        fn = getattr(heaac_graph, name)
+        if callable(fn) and hasattr(fn, "cache_clear"):
+            fn.cache_clear()
+
+
 REPO = Path(__file__).resolve().parent.parent
 REFBUILD = Path(os.environ.get("REFBUILD", "/tmp/refbuild"))
 HARNESS = REFBUILD / "harness"

@@ -40,25 +40,37 @@ def test_two_process_decode_and_reduce(ref_harness, tmp_path):
                             ps_writer=PsStreamWriter(seed=70 + i))
         (sdir / f"s{i}.aac").write_bytes(splice_sbr_into_lc(core, w))
 
-    port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
-    procs = []
-    for pid in range(2):
-        procs.append(subprocess.Popen(
-            [sys.executable, "-m", "heaac_tpu.parallel.multihost",
-             "--coordinator", f"127.0.0.1:{port}",
-             "--num-processes", "2", "--process-id", str(pid),
-             "--streams-dir", str(sdir), "--cpu-devices", "2"],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            text=True))
-    outs = []
-    for p in procs:
-        so, se = p.communicate(timeout=540)
-        assert p.returncode == 0, f"worker failed:\n{se[-2000:]}"
-        outs.append(json.loads(so.strip().splitlines()[-1]))
+
+    def run_workers():
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "heaac_tpu.parallel.multihost",
+                 "--coordinator", f"127.0.0.1:{port}",
+                 "--num-processes", "2", "--process-id", str(pid),
+                 "--streams-dir", str(sdir), "--cpu-devices", "2"],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True))
+        out, errs = [], []
+        for p in procs:
+            so, se = p.communicate(timeout=540)
+            errs.append((p.returncode, se))
+            if p.returncode == 0:
+                out.append(json.loads(so.strip().splitlines()[-1]))
+        return out, errs
+
+    outs, errs = run_workers()
+    if len(outs) != 2 and any("DEADLINE_EXCEEDED" in se for _, se in errs):
+        # Gloo's 30 s key-exchange deadline loses the race when both
+        # workers cold-compile on this 1-core box; one retry (warm
+        # compile caches) is deterministic
+        outs, errs = run_workers()
+    assert len(outs) == 2, f"worker failed:\n{errs[-1][1][-2000:]}"
 
     # both hosts computed the same global reduction
     assert outs[0]["frames"] == outs[1]["frames"] == n_streams * n_frames
