@@ -234,12 +234,12 @@ def parse_stream_plans(data: bytes, asc: bytes | None = None,
         frames = [f[9 - (f[1] & 1) * 2:] for f in frames]
     else:
         hdr = parse_adts_header(BitReader(frames[0][:7]))
-        if hdr.chan_config <= 7 and hdr.object_type == 2:
+        if hdr.chan_config <= 7 and hdr.object_type in (1, 2):
             # native whole-stream HE host front-end (he_host.inc): ADTS +
             # core + SBR/PS side info + plan assembly in one C++ call,
             # bit-exact vs this Python path, for chan_config 0-7 (in-band
-            # PCE incl.); falls through for CCE/Main/SSR or PS band-mode
-            # changes
+            # PCE incl.), LC and Main (per-lane predictor state in C++);
+            # falls through for SSR or PS band-mode changes
             from .. import native
             if native.available():
                 parse = (native.parse_he_stream_compact if compact
@@ -1604,13 +1604,14 @@ class LcStreamBatchDecoder:
         ([(tgt, src)], gains [T, E]) for AFTER_IMDCT CCE streams.
 
         Fast path: the whole-stream native C++ parser (ht_parse_stream —
-        ADTS framing + element loop + dequant + TNS in one call); Python
-        planner fallback for PCE/CCE/Main/SSR streams."""
+        ADTS framing + element loop + dequant + prediction + TNS in one
+        call, LC and Main); Python planner fallback for PCE/CCE/SSR
+        streams."""
         frames = split_adts_stream(st)
         if max_frames is not None:
             frames = frames[:max_frames]
         hdr = parse_adts_header(BitReader(frames[0][:7]))
-        if hdr.chan_config and hdr.object_type == 2:
+        if hdr.chan_config and hdr.object_type in (1, 2):
             from .. import native
             if native.available():
                 layout = T.CHANNEL_LAYOUT_MAP[hdr.chan_config]
@@ -1708,7 +1709,7 @@ def decode_batch(streams: list) -> list:
         # cheap probe: the native front-end length-walks two frames
         # (~10 us/stream); the Python full-decode probe is the fallback
         sbr_on = ps34 = None
-        if native_ok and hdr.object_type == 2 and hdr.chan_config <= 7:
+        if native_ok and hdr.object_type in (1, 2) and hdr.chan_config <= 7:
             p = native.probe_he_stream(data, hdr.sampling_index,
                                        hdr.sample_rate, hdr.chan_config)
             if p is not None:

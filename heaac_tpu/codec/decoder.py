@@ -224,6 +224,13 @@ class Decoder:
             elif etype == T.TYPE_CCE:
                 syn.decode_cce(br, che, m.sampling_index, m.object_type,
                                self.rng)
+                if m.object_type == 1:
+                    # the reference applies prediction inside the CCE's
+                    # decode_ics (aacdec.c:1381, common_window=0); the
+                    # gain parse that follows never reads coeffs, so
+                    # applying here is value-identical
+                    syn.apply_prediction(che.ch[0], che.cur[0],
+                                         m.sampling_index, SF_SCALE)
                 if self.use_native and che.coup.coupling_point < 3:
                     # pre-IMDCT coupling needs un-TNS'd target spectra; the
                     # native engine applies TNS in-parse, so fall back to
@@ -297,6 +304,14 @@ class Decoder:
                                      SF_SCALE)
                 syn.apply_prediction(cpe.ch[1], cpe.cur[1], m.sampling_index,
                                      SF_SCALE)
+        elif m.object_type == 1:
+            # !common_window: the reference predicts each channel inside
+            # its decode_ics (aacdec.c:1381-1382), i.e. still before the
+            # intensity fill; per-channel state makes the deferral exact
+            syn.apply_prediction(cpe.ch[0], cpe.cur[0], m.sampling_index,
+                                 SF_SCALE)
+            syn.apply_prediction(cpe.ch[1], cpe.cur[1], m.sampling_index,
+                                 SF_SCALE)
         syn.apply_intensity_stereo(cpe, ms_present)
 
     # ------------------------------------------------------------------

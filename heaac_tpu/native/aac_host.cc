@@ -262,6 +262,11 @@ struct IcsInfo {
   const int* swb_offset;
   int num_swb;
   int tns_max_bands;
+  // AAC-Main frequency-domain prediction side info (aacdec.c:624-641)
+  int predictor_present;
+  int predictor_reset_group;
+  int pred_nmax;               // min(max_sfb, pred_sfb_max)
+  uint8_t prediction_used[64];
 };
 
 struct Tns {
@@ -475,6 +480,111 @@ static inline void hh_arm_cpe_spec(SpecCap* s0, SpecCap* s1) {
   g_spec_cpe[1] = s1;
 }
 
+// ------------------------- AAC-Main prediction ----------------------------
+// Frequency-domain prediction (aacdec.c:1247-1322; behavioral reference
+// bitstream/aac_syntax.apply_prediction).  Stream object type for the
+// whole-stream parser: 2 = LC (default), 1 = Main.  Prediction state is
+// per lane and persists across frames: the caller arms g_pred_export with
+// the lane's 672x6 float state (columns cor0 cor1 var0 var1 r0 r1) before
+// each element parse, one-shot like g_chan_export.
+static const int PRED_N = 672;
+static int g_object_type = 2;
+static float* g_pred_export[2] = {nullptr, nullptr};
+
+static void pred_reset_state(float* st) {
+  for (int k = 0; k < PRED_N; k++) {
+    float* s = st + 6 * k;
+    s[0] = s[1] = s[4] = s[5] = 0.0f;
+    s[2] = s[3] = 1.0f;
+  }
+}
+
+// emulated-float16 roundings: bit-identical to aac_syntax._flt16_* (the
+// uint32 bias trick the reference uses, aacdec.c:1229-1245)
+static inline float flt16_round(float x) {
+  uint32_t i;
+  memcpy(&i, &x, 4);
+  i = (i + 0x00008000u) & 0xFFFF0000u;
+  memcpy(&x, &i, 4);
+  return x;
+}
+static inline float flt16_even(float x) {
+  uint32_t i;
+  memcpy(&i, &x, 4);
+  i = (i + 0x00007FFFu + ((i & 0x00010000u) >> 16)) & 0xFFFF0000u;
+  memcpy(&x, &i, 4);
+  return x;
+}
+static inline float flt16_trunc(float x) {
+  uint32_t i;
+  memcpy(&i, &x, 4);
+  i = i & 0xFFFF0000u;
+  memcpy(&x, &i, 4);
+  return x;
+}
+
+// Apply one frame of prediction to a dequantized long-window spectrum and
+// advance the per-lane state; EIGHT_SHORT frames reset the state instead.
+// Every bin whose stored value changes is marked raw for the qwire
+// emitter (value tokens were captured pre-prediction).  Float-op order
+// matches aac_syntax.apply_prediction exactly (per-op f32 rounding; the
+// build uses -ffp-contract=off).
+static void apply_main_prediction(float* coef, float* st,
+                                  const IcsInfo* ics, int sampling_index) {
+  if (ics->window_sequence == 2) {
+    pred_reset_state(st);
+    return;
+  }
+  const float SFS = -0.0009765625f;  // SF_SCALE, codec/decoder.py:22
+  const float a = 0.953125f, alpha = 0.90625f;
+  int pmax = ht_pred_sfb_max[sampling_index];
+  int kmax =
+      ics->swb_offset[pmax < ics->num_swb ? pmax : ics->num_swb];
+  uint8_t en[1024];
+  memset(en, 0, kmax);
+  if (ics->predictor_present) {
+    for (int sfb = 0; sfb < ics->pred_nmax; sfb++)
+      if (ics->prediction_used[sfb]) {
+        int k0 = ics->swb_offset[sfb];
+        int k1b = ics->swb_offset[sfb + 1];
+        if (k1b > kmax) k1b = kmax;  // numpy slice-clip semantics
+        for (int k = k0; k < k1b; k++) en[k] = 1;
+      }
+  }
+  int ql = g_qw.on ? g_qw.lane_of(coef) : -1;
+  for (int k = 0; k < kmax; k++) {
+    float* s = st + 6 * k;
+    float cor0 = s[0], cor1 = s[1], var0 = s[2], var1 = s[3];
+    float r0 = s[4], r1 = s[5];
+    float k1 = var0 > 1.0f ? cor0 * flt16_even(a / var0) : 0.0f;
+    float k2 = var1 > 1.0f ? cor1 * flt16_even(a / var1) : 0.0f;
+    float pv = flt16_round(k1 * r0 + k2 * r1);
+    if (en[k]) {
+      float old = coef[k];
+      float nv = old + pv * SFS;
+      coef[k] = nv;
+      uint32_t bo, bn;
+      memcpy(&bo, &old, 4);
+      memcpy(&bn, &nv, 4);
+      if (bo != bn && ql >= 0) g_qw.mark_raw(ql, k);
+    }
+    float e0 = coef[k] / SFS;
+    float e1 = e0 - k1 * r0;
+    s[1] = flt16_trunc(alpha * cor1 + r1 * e1);
+    s[3] = flt16_trunc(alpha * var1 + 0.5f * (r1 * r1 + e1 * e1));
+    s[0] = flt16_trunc(alpha * cor0 + r0 * e0);
+    s[2] = flt16_trunc(alpha * var0 + 0.5f * (r0 * r0 + e0 * e0));
+    s[5] = flt16_trunc(a * (r0 - k1 * e0));
+    s[4] = flt16_trunc(a * e0);
+  }
+  if (ics->predictor_reset_group)
+    for (int i = ics->predictor_reset_group - 1; i < PRED_N; i += 30) {
+      float* s = st + 6 * i;
+      s[0] = s[1] = s[4] = s[5] = 0.0f;
+      s[2] = s[3] = 1.0f;
+    }
+}
+
 static int walk_spectrum(Bits* b, const Chan* ch, int64_t* bandpos) {
   const IcsInfo* ics = &ch->ics;
   const int* offsets = ics->swb_offset;
@@ -561,7 +671,22 @@ static int parse_ics_info(Bits* b, IcsInfo* ics, int sampling_index) {
     ics->swb_offset = ht_swb_1024[sampling_index];
     ics->num_swb = ht_num_swb_1024[sampling_index];
     ics->tns_max_bands = ht_tns_max_1024[sampling_index];
-    if (getbit(b)) return -2;  // prediction: not handled natively (AAC Main)
+    if (getbit(b)) {  // predictor_data_present
+      if (g_object_type != 1) return -2;  // only AAC Main handled natively
+      ics->predictor_present = 1;
+      if (getbit(b)) {
+        ics->predictor_reset_group = getbits(b, 5);
+        if (ics->predictor_reset_group < 1 ||
+            ics->predictor_reset_group > 30)
+          return -1;
+      }
+      int nmax = ics->max_sfb < ht_pred_sfb_max[sampling_index]
+                     ? ics->max_sfb
+                     : ht_pred_sfb_max[sampling_index];
+      ics->pred_nmax = nmax;
+      for (int i = 0; i < nmax; i++)
+        ics->prediction_used[i] = (uint8_t)getbit(b);
+    }
   }
   if (ics->max_sfb > ics->num_swb) return -1;
   return 0;
@@ -1450,6 +1575,8 @@ int ht_parse_sce(const uint8_t* buf, int64_t nbits, int64_t* pos,
   // the TNS filter state survives the element loop (one-shot arming)
   Chan* chp = g_chan_export[0] ? g_chan_export[0] : &local;
   g_chan_export[0] = nullptr;
+  float* pst = g_pred_export[0];
+  g_pred_export[0] = nullptr;
   Chan& ch = *chp;
   // parse_ics fills every field it later reads; only the band maps need
   // zeroing (apply_pulses may walk past max_sfb) — a full Chan memset is
@@ -1459,6 +1586,10 @@ int ht_parse_sce(const uint8_t* buf, int64_t nbits, int64_t* pos,
   memset(ch.sf, 0, sizeof(ch.sf));
   int r = parse_ics(&b, &ch, sampling_index, 0, coeffs, rng_state);
   if (r) return r;
+  // Main: prediction right after the spectrum decode, before TNS
+  // (aacdec.c:1381; TNS is only parsed in decode_ics, applied later)
+  if (g_object_type == 1 && pst)
+    apply_main_prediction(coeffs, pst, &ch.ics, sampling_index);
   if (ch.tns.present && apply_tns_now) apply_tns(coeffs, &ch);
   fill_meta(&ch, meta);
   *pos = b.pos;
@@ -1475,6 +1606,9 @@ int ht_parse_cpe(const uint8_t* buf, int64_t nbits, int64_t* pos,
   Chan& ch0 = g_chan_export[0] ? *g_chan_export[0] : l0;
   Chan& ch1 = g_chan_export[1] ? *g_chan_export[1] : l1;
   g_chan_export[0] = g_chan_export[1] = nullptr;
+  float* pst0 = g_pred_export[0];
+  float* pst1 = g_pred_export[1];
+  g_pred_export[0] = g_pred_export[1] = nullptr;
   // targeted zeroing (see ht_parse_sce): skip the 10 KB full-struct memset
   memset(&ch0.ics, 0, sizeof(ch0.ics));
   memset(ch0.band_type, 0, sizeof(ch0.band_type));
@@ -1600,6 +1734,14 @@ int ht_parse_cpe(const uint8_t* buf, int64_t nbits, int64_t* pos,
       c1 += ch0.ics.group_len[g] * 128;
     }
   }
+  // Main: prediction lands between M/S and intensity (aacdec.c:1487-1493
+  // for common_window; for !common_window the reference predicts inside
+  // each decode_ics — state is per channel, so deferring both to this
+  // point is value-identical and still precedes the intensity fill)
+  if (g_object_type == 1 && pst0 && pst1) {
+    apply_main_prediction(coeffs0, pst0, &ch0.ics, sampling_index);
+    apply_main_prediction(coeffs1, pst1, &ch1.ics, sampling_index);
+  }
   {  // intensity stereo (aacdec.c:1420-1451)
     const int* offsets = ch1.ics.swb_offset;
     int idx = 0;
@@ -1668,6 +1810,16 @@ int ht_parse_stream(const uint8_t* buf, int64_t nbytes, int sampling_index,
     prev_kbd[i] = 0;
   }
   if (n_lanes > 64) return -2;
+  // AAC-Main: per-lane predictor state (single-threaded, like the qwire
+  // path's hh_pred_state); restore the LC default on every exit
+  int main_latch = 0;
+  static float st_pred_state[64][PRED_N * 6];
+  struct AotGuard {
+    ~AotGuard() {
+      g_object_type = 2;
+      g_pred_export[0] = g_pred_export[1] = nullptr;
+    }
+  } aot_guard;
   while (off + 7 <= nbytes && frame < max_frames) {
     // resynchronize on the ADTS syncword (aac_ac3_parser.c:26)
     if (buf[off] != 0xFF || (buf[off + 1] & 0xF6) != 0xF0) {
@@ -1678,6 +1830,16 @@ int ht_parse_stream(const uint8_t* buf, int64_t nbytes, int sampling_index,
     int64_t flen = ((int64_t)(buf[off + 3] & 3) << 11) |
                    ((int64_t)buf[off + 4] << 3) | (buf[off + 5] >> 5);
     if (flen < 7 || off + flen > nbytes) break;
+    int aot = ((buf[off + 2] >> 6) & 3) + 1;
+    if (aot != 1 && aot != 2) return -2;
+    if (frame == 0) {
+      main_latch = aot == 1;
+      if (main_latch)
+        for (int l = 0; l < n_lanes; l++) pred_reset_state(st_pred_state[l]);
+    } else if ((aot == 1) != (main_latch != 0)) {
+      return -2;  // profile flips mid-stream: python fallback
+    }
+    g_object_type = main_latch ? 1 : 2;
     int64_t body = (off + (prot_absent ? 7 : 9)) * 8;
     Bits b{buf, (off + flen) * 8, body};
 
@@ -1732,6 +1894,10 @@ int ht_parse_stream(const uint8_t* buf, int64_t nbytes, int sampling_index,
       if (etype == 1) {  // CPE: reuse the pair parser body via ht_parse_cpe
         int64_t p = b.pos;
         int32_t m0[16], m1[16];
+        if (main_latch) {
+          g_pred_export[0] = st_pred_state[lane];
+          g_pred_export[1] = st_pred_state[lane + 1];
+        }
         r = ht_parse_cpe(buf, b.nbits, &p, sampling_index,
                          fc + (int64_t)lane * 1024,
                          fc + (int64_t)(lane + 1) * 1024, m0, m1, &rng, 1);
@@ -1753,6 +1919,7 @@ int ht_parse_stream(const uint8_t* buf, int64_t nbytes, int sampling_index,
       } else {  // SCE / LFE
         int64_t p = b.pos;
         int32_t m0[16];
+        if (main_latch) g_pred_export[0] = st_pred_state[lane];
         r = ht_parse_sce(buf, b.nbits, &p, sampling_index,
                          fc + (int64_t)lane * 1024, m0, &rng, 1);
         if (r == -2) return -2;

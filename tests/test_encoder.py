@@ -138,6 +138,31 @@ def test_encode_aac_main_prediction(ref_harness, tmp_path):
 
 
 @pytest.mark.golden
+def test_encode_aac_main_stereo(ref_harness, tmp_path):
+    """AAC-Main stereo: the encoder emits a CPE with common_window=0 and
+    per-channel prediction; the reference predicts each channel inside
+    decode_ics (aacdec.c:1381-1382) — our decoder must match (it used to
+    skip prediction on the !common_window CPE path entirely)."""
+    sr = 44100
+    pcm = _tone(sr, 2, seconds=2.0)
+    adts = AacEncoder(sr, 2, object_type=1).encode(pcm)
+    p = tmp_path / "ms.aac"
+    p.write_bytes(adts)
+    g = tmp_path / "ms.gold"
+    subprocess.run([ref_harness["decode"], str(p), str(g)], check=True,
+                   capture_output=True)
+    gold = np.fromfile(g, np.int16).reshape(-1, 2)
+    ours, rate = decode_adts(adts)
+    n = min(len(ours), len(gold))
+    assert np.abs(ours[:n].astype(int) - gold[:n].astype(int)).max() <= 2
+    m = min(len(pcm), len(gold) - 1024)
+    d = gold[1024:1024 + m].astype(np.float64) - pcm[:m]
+    snr = 10 * np.log10((pcm[:m].astype(np.float64) ** 2).mean()
+                        / max((d ** 2).mean(), 1e-9))
+    assert snr > 30, f"SNR {snr:.1f} dB"
+
+
+@pytest.mark.golden
 def test_encode_twoloop_gain(ref_harness, tmp_path):
     """Scalefactor twoloop refinement (aaccoder.c:381 analogue) must buy a
     measurable SNR gain at a constrained rate (VERDICT round-1 item 9)."""
