@@ -83,6 +83,33 @@ def test_main_dense_native(ch, ref_harness, tmp_path):
 
 
 @pytest.mark.golden
+def test_main_decode_batch_front_door(ref_harness, caplog, tmp_path):
+    """decode_batch with Main streams mixed into the pool: the native
+    probe accepts profile 0, Main and LC share a dense bucket (the key
+    is SBR-kind based; parse is per-stream), and nothing falls back to
+    the single-stream decoder."""
+    from heaac_tpu.codec.batch import decode_batch
+
+    sr = 44100
+    main_m = AacEncoder(sr, 1, object_type=1).encode(_tone(sr, 1))
+    lc_m = AacEncoder(sr, 1).encode(_tone(sr, 1))
+    main_s = AacEncoder(sr, 2, object_type=1).encode(_tone(sr, 2))
+
+    with caplog.at_level(logging.INFO, logger="heaac_tpu"):
+        outs = decode_batch([main_m, lc_m, main_s])
+    bad = [r for r in caplog.records
+           if "fell back" in r.getMessage() or "bisect" in r.getMessage()]
+    assert not bad, [r.getMessage() for r in bad]
+
+    for adts, out, ch in ((main_m, outs[0], 1), (lc_m, outs[1], 1),
+                          (main_s, outs[2], 2)):
+        gold = _oracle(ref_harness, adts, ch, tmp_path)
+        n = min(len(out), len(gold))
+        diff = np.abs(out[:n].astype(int) - gold[:n].astype(int))
+        assert diff.max() <= 2, f"vs oracle max LSB {diff.max()}"
+
+
+@pytest.mark.golden
 def test_main_he_qwire_native(ref_harness, caplog, tmp_path):
     """Main core + spliced SBR through the qwire path (hh_parse_he_impl):
     value-token capture with prediction-touched bins marked raw must
