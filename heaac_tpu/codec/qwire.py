@@ -122,23 +122,37 @@ SIDE_HEAD = 13
 #   [bw[5] f32 LE]       if bw_present
 #   env codes ++ noise codes ++ addharm(6) ++ PS block   (as before)
 # device gather window (wire cost is the actual block size; the worst case
-# is an SCE with 4-envelope 34-band PS incl. IPD/OPD at ~705 bytes)
+# is an SCE with 4-envelope 34-band PS incl. IPD/OPD at ~706 bytes)
 SIDE_MAX = 768
 
-# PS sub-block v2 (byte offsets within the PS section)
+# PS sub-block v3 (byte offsets within the PS section)
 # b0: nenv(3) | ipdopd<<3 | quant<<4 | iccmode(3)<<5
-# b1: nipd
-# b2: top
-# b3..b8: border_position[0..5] (i8)
+# b1: iid_kind(2) | icc_kind(2)<<2  — native band resolution per row
+#     type: 0/1/2 = 10/20/34 bands, 3 = disabled (zero-width rows)
+# b2: nipd
+# b3: top
+# b4..b9: border_position[0..5] (i8)
 PS_B0 = 0
-PS_NIPD = 1
-PS_TOP = 2
-PS_BORD = 3
-PS_HEAD = 9
-# iid rows: per env, npar i8 bytes when iid_quant (fine) else
-# ceil(npar/2) nibble bytes (coarse values in [-7,7], stored +7);
-# icc rows: per env ceil(npar/2) nibble bytes (codes 0..7);
-# ipd/opd rows: per env ceil(nipd/2) nibble bytes (codes 0..7)
+PS_KND = 1
+PS_NIPD = 2
+PS_TOP = 3
+PS_BORD = 4
+PS_HEAD = 10
+# iid rows: per env, nr_iid i8 bytes when iid_quant (fine) else
+# ceil(nr_iid/2) nibble bytes (coarse values in [-7,7], stored +7);
+# icc rows: per env ceil(nr_icc/2) nibble bytes (codes 0..7);
+# ipd/opd rows: per env ceil(nipd/2) nibble bytes (codes 0..7).
+# iid/icc ship at NATIVE band resolution (nr_*_par); the device remaps
+# to the 20/34-band mixing resolution via ps_np.REMAP_TABLES_FULL
+# (aacps.c remap20/remap34) — 10-band streams save ~half the row bytes.
+PS_KIND_OF = {0: 3, 10: 0, 20: 1, 34: 2}
+PS_WIDTH = [10, 20, 34, 0]
+
+
+def ps_np_tables():
+    """[to34][src_kind][34][9] device remap tables (see ops/ps_np)."""
+    from ..ops import ps_np
+    return ps_np.REMAP_TABLES_FULL
 
 # ---- header block -----------------------------------------------------------
 H_N0, H_N1, H_NQ, H_NLIM, H_NPATCH, H_KX1, H_M1, H_FLAGS, H_LIMG = range(9)
@@ -331,21 +345,21 @@ def build_side(sbr, ch: int, id_aac: int, err: int = 0,
         pb[PS_B0] = (int(ps.num_env) | (int(ps.enable_ipdopd) << 3)
                      | (int(ps.iid_quant) << 4)
                      | ((int(ps.icc_mode) & 7) << 5))
+        nr_iid, nr_icc = int(ps.nr_iid_par), int(ps.nr_icc_par)
+        pb[PS_KND] = PS_KIND_OF[nr_iid] | (PS_KIND_OF[nr_icc] << 2)
         pb[PS_NIPD] = int(ps.nr_ipdopd_par)
         pb[PS_TOP] = int(sbr.kx[1] + sbr.m[1])
         for e2 in range(min(int(ps.num_env) + 1, 6)):
             pb[PS_BORD + e2] = int(ps.border_position[e2]) & 0xFF
-        npar = P.NR_PAR_BANDS[is34]
-        iid = ps_np._remap(ps.iid_par, ps.nr_iid_par, ps.num_env, 1, is34)
-        icc = ps_np._remap(ps.icc_par, ps.nr_icc_par, ps.num_env, 1, is34)
         for e2 in range(int(ps.num_env)):
             if ps.iid_quant:
-                pb.extend(int(x) & 0xFF for x in iid[e2][:npar])
+                pb.extend(int(x) & 0xFF for x in ps.iid_par[e2][:nr_iid])
             else:
                 pb.extend(pack_nibbles(
-                    [int(x) + 7 for x in iid[e2][:npar]]))
+                    [int(x) + 7 for x in ps.iid_par[e2][:nr_iid]]))
         for e2 in range(int(ps.num_env)):
-            pb.extend(pack_nibbles([int(x) for x in icc[e2][:npar]]))
+            pb.extend(pack_nibbles(
+                [int(x) for x in ps.icc_par[e2][:nr_icc]]))
         if ps.enable_ipdopd:
             nip = min(int(ps.nr_ipdopd_par), 17)
             ipd = ps_np._remap(ps.ipd_par, ps.nr_ipdopd_par, ps.num_env,
@@ -964,12 +978,10 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
     pquant = ((pb0 >> 4) & 1) * ps_on
     if is34 == -1:
         # flip-capable graph: the band mode is per lane per frame, read
-        # from side bit 6 (build_side); the wire layout (npar) follows it
+        # from side bit 6 (build_side); the remap target follows it
         m34 = ((flags >> 6) & 1) * ps_on
-        npar = jnp.where(m34 > 0, 34, 20)                # [B]
     else:
         m34 = None
-        npar = jnp.full((B,), P.NR_PAR_BANDS[is34], jnp.int32)
     pc_i = jnp.zeros((B, CP.PC_I_N), jnp.int32)
     pc_i = pc_i.at[:, CP.PI_ON].set(ps_on)
     pc_i = pc_i.at[:, CP.PI_IPD].set(ipdopd_on)
@@ -981,14 +993,19 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
     bords = ((psb[:, PS_BORD:PS_BORD + 6] ^ 128) - 128) \
         * ps_on[:, None]                                # i8 semantics
     pc_i = pc_i.at[:, CP.PI_BORD:CP.PI_BORD + 6].set(bords)
-    npar_nib = (npar + 1) // 2
+    # iid/icc rows ship at native band resolution (PS_KND kinds); the
+    # mixing-resolution remap (aacps.c remap20/remap34) runs on device
+    pknd = psb[:, PS_KND] * ps_on
+    widths = jnp.asarray(PS_WIDTH, jnp.int32)
+    nr_iid = jnp.take(widths, pknd & 3)                 # [B]
+    nr_icc = jnp.take(widths, (pknd >> 2) & 3)
+    nr_iid_nib = (nr_iid + 1) // 2
+    nr_icc_nib = (nr_icc + 1) // 2
     iid_off = ps_off + PS_HEAD
-    iid_bpe = jnp.where(pquant > 0, npar, npar_nib)     # bytes per env
+    iid_bpe = jnp.where(pquant > 0, nr_iid, nr_iid_nib)  # bytes per env
     icc_off = iid_off + penv * iid_bpe
     j34 = jnp.arange(34)[None, None, :]
     em5 = jnp.arange(5)[None, :, None]
-    npar3 = npar[:, None, None]
-    npar_nib3 = npar_nib[:, None, None]
 
     def gather_ps(pos):
         return jnp.take_along_axis(side, pos.clip(0, SIDE_MAX - 1)
@@ -999,20 +1016,47 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
         return (em5 < penv[:, None, None]) & (j34 < width) \
             & (ps_on > 0)[:, None, None]
 
+    if m34 is None:
+        tabs = jnp.asarray(ps_np_tables()[is34])         # [3][34][9]
+        tab_of = lambda kind: jnp.take(tabs, kind.clip(0, 2), axis=0)
+    else:
+        both = jnp.asarray(ps_np_tables()).reshape(6, 34, 9)
+        tab_of = lambda kind: jnp.take(
+            both, (m34 * 3 + kind.clip(0, 2)).clip(0, 5), axis=0)
+
+    def remap_dev(vals, kind):
+        """vals [B,5,34] at native resolution -> mixing resolution via
+        out[i] = tdiv(sum_j w_j*vals[s_j], den) (C truncation; den==0
+        rows are 0, which also zeroes past the target width)."""
+        tab = tab_of(kind)                               # [B,34,9]
+        s = jnp.broadcast_to(tab[:, :, 0:4].reshape(B, 1, 136),
+                             (B, 5, 136))
+        g = jnp.take_along_axis(vals, s, axis=2).reshape(B, 5, 34, 4)
+        num = (g * tab[:, None, :, 4:8]).sum(-1)
+        den = tab[:, None, :, 8]
+        q = jnp.sign(num) * (jnp.abs(num) // jnp.maximum(den, 1))
+        return jnp.where(den > 0, q, 0)
+
+    nr_iid3 = nr_iid[:, None, None]
     # iid: i8 bytes (fine quant) or +7-biased nibbles (coarse)
-    vb = gather_ps(iid_off[:, None, None] + em5 * npar3
-                   + jnp.minimum(j34, npar3 - 1))
+    vb = gather_ps(iid_off[:, None, None] + em5 * nr_iid3
+                   + jnp.minimum(j34, nr_iid3 - 1))
     vbyte = (vb ^ 128) - 128
-    vn = gather_ps(iid_off[:, None, None] + em5 * npar_nib3 + (j34 >> 1))
+    vn = gather_ps(iid_off[:, None, None] + em5 * nr_iid_nib[:, None, None]
+                   + (j34 >> 1))
     vnib = ((vn >> (4 * (j34 & 1))) & 15) - 7
-    iid = jnp.where(valid_mask(npar3),
+    iid = jnp.where(valid_mask(nr_iid3),
                     jnp.where(pquant[:, None, None] > 0, vbyte, vnib), 0)
+    iid = remap_dev(iid, pknd & 3)
     # icc: raw-code nibbles
-    vn = gather_ps(icc_off[:, None, None] + em5 * npar_nib3 + (j34 >> 1))
-    icc = jnp.where(valid_mask(npar3), (vn >> (4 * (j34 & 1))) & 15, 0)
+    vn = gather_ps(icc_off[:, None, None] + em5 * nr_icc_nib[:, None, None]
+                   + (j34 >> 1))
+    icc = jnp.where(valid_mask(nr_icc[:, None, None]),
+                    (vn >> (4 * (j34 & 1))) & 15, 0)
+    icc = remap_dev(icc, (pknd >> 2) & 3)
     nipd = psb[:, PS_NIPD].clip(0, 17)
     nipd_nib = (nipd + 1) >> 1
-    ipd_off = icc_off + penv * npar_nib
+    ipd_off = icc_off + penv * nr_icc_nib
     opd_off = ipd_off + penv * nipd_nib * ipdopd_on
 
     def codes17(off0):

@@ -346,6 +346,78 @@ def _remap(par, num_par, num_env, full, to34):
 
 
 # ---------------------------------------------------------------------------
+# Table form of the index maps above, for the device-side remap
+# (codec/qwire ships iid/icc at native band resolution): every output
+# position is  out[i] = tdiv(sum_j w_j * par[s_j], den)  with C
+# truncation toward zero; rows with den == 0 are 0.  Indexed
+# [to34][src_kind][34][9] with columns (s0..s3, w0..w3, den) and
+# src_kind 0/1/2 = 10/20/34-band native resolution (full=1, iid/icc)
+# resp. 5/11/17 (full=0, ipd/opd).  tests/test_ps_remap_tables.py pins
+# these against the literal _map_idx_* functions.
+# ---------------------------------------------------------------------------
+def _remap_tab(rows):
+    t = np.zeros((34, 9), np.int32)
+    for i, (srcs, ws, den) in rows.items():
+        t[i, 0:len(srcs)] = srcs
+        t[i, 4:4 + len(ws)] = ws
+        t[i, 8] = den
+    return t
+
+
+def _build_remap_tables(full):
+    one = lambda s: ((s,), (1,), 1)
+    # 10 -> 20 (_map_idx_10_to_20): out[2i] = out[2i+1] = par[i]
+    b = 9 if full else 4
+    t10_20 = {2 * i + k: one(i) for i in range(b + 1) for k in (0, 1)}
+    # identity at target resolution (_remap's fall-through copy; source
+    # entries past the native width are 0 in the syntax arrays)
+    t20_20 = {i: one(i) for i in range(20 if full else 11)}
+    t34_34 = {i: one(i) for i in range(34 if full else 17)}
+    # 34 -> 20 (_map_idx_34_to_20)
+    t34_20 = {
+        0: ((0, 1), (2, 1), 3), 1: ((1, 2), (1, 2), 3),
+        2: ((3, 4), (2, 1), 3), 3: ((4, 5), (1, 2), 3),
+        4: ((6, 7), (1, 1), 2), 5: ((8, 9), (1, 1), 2),
+        6: one(10), 7: one(11),
+        8: ((12, 13), (1, 1), 2), 9: ((14, 15), (1, 1), 2),
+        10: one(16),
+    }
+    if full:
+        t34_20.update({
+            11: one(17), 12: one(18), 13: one(19),
+            14: ((20, 21), (1, 1), 2), 15: ((22, 23), (1, 1), 2),
+            16: ((24, 25), (1, 1), 2), 17: ((26, 27), (1, 1), 2),
+            18: ((28, 29, 30, 31), (1, 1, 1, 1), 4),
+            19: ((32, 33), (1, 1), 2),
+        })
+    # 10 -> 34 (_map_idx_10_to_34)
+    src = _IDX_10_TO_34_FULL if full else _IDX_10_TO_34_MAP
+    t10_34 = {i: one(s) for i, s in enumerate(src)}
+    if not full:
+        t10_34.pop(16, None)                # out[16] = 0
+    # 20 -> 34 (_map_idx_20_to_34)
+    t20_34 = {}
+    for i in range(34 if full else 17):
+        s = _IDX_20_TO_34[i]
+        if s == -1:
+            t20_34[i] = ((0, 1), (1, 1), 2)
+        elif s == -2:
+            t20_34[i] = ((2, 3), (1, 1), 2)
+        else:
+            t20_34[i] = one(s)
+    return np.stack([
+        np.stack([_remap_tab(t10_20), _remap_tab(t20_20),
+                  _remap_tab(t34_20)]),     # to34 = 0
+        np.stack([_remap_tab(t10_34), _remap_tab(t20_34),
+                  _remap_tab(t34_34)]),     # to34 = 1
+    ])
+
+
+REMAP_TABLES_FULL = _build_remap_tables(True)    # iid / icc
+REMAP_TABLES_PART = _build_remap_tables(False)   # ipd / opd
+
+
+# ---------------------------------------------------------------------------
 # Stereo processing (aacps.c:794-971)
 # ---------------------------------------------------------------------------
 def stereo_processing(ps: PSContext, lbuf: np.ndarray, rbuf: np.ndarray,

@@ -174,6 +174,10 @@ def test_sbr_with_inverse_filtering(ref_harness):
     ("ps_ipdopd", dict(seed=6, iid_mode=1, icc_mode=4, enable_ipdopd=True)),
     ("ps_fine_iid", dict(seed=8, iid_mode=4, icc_mode=1)),
     ("ps_noicc", dict(seed=10, iid_mode=1, enable_icc=False)),
+    # 10-band native rows: the device 10->20 remap (wire ships native
+    # resolution; ps_np.REMAP_TABLES_FULL), incl. fine-quant bytes
+    ("ps_10band", dict(seed=14, iid_mode=0, icc_mode=0)),
+    ("ps_10band_fine", dict(seed=16, iid_mode=3, icc_mode=0)),
 ])
 def test_ps_golden(name, pskw, ref_harness):
     from heaac_tpu.io.heaac_testgen import PsStreamWriter

@@ -70,6 +70,7 @@ def test_native_he_sbr_exact(cfg, ref_harness):
     dict(seed=2),                                          # 20-band baseline
     dict(seed=4, iid_mode=2, icc_mode=2),                  # 34-band
     dict(seed=6, iid_mode=1, icc_mode=4, enable_ipdopd=True),
+    dict(seed=14, iid_mode=0, icc_mode=0),                 # 10-band native
 ])
 def test_native_he_ps_exact(pskw, ref_harness):
     from heaac_tpu.io.heaac_testgen import (PsStreamWriter, SbrStreamWriter,
@@ -140,6 +141,7 @@ def test_native_he_compact_exact(cfg, ref_harness):
     dict(seed=2),
     dict(seed=4, iid_mode=2, icc_mode=2),
     dict(seed=6, iid_mode=1, icc_mode=4, enable_ipdopd=True),
+    dict(seed=14, iid_mode=0, icc_mode=0),                 # 10-band native
 ])
 def test_native_he_compact_ps_exact(pskw, ref_harness):
     from heaac_tpu.io.heaac_testgen import (PsStreamWriter, SbrStreamWriter,
@@ -163,8 +165,11 @@ def test_native_he_compact_cpe_exact(ref_harness):
     _assert_compact_exact(he)
 
 
-def test_native_he_fallback_for_main():
-    """AAC-Main (prediction) must return None -> Python path."""
+def test_native_he_parses_main_and_rejects_ssr():
+    """AAC-Main parses natively (per-lane predictor state in C++,
+    tests/test_main_native.py has the goldens); SSR (ADTS profile 2,
+    object 3) still returns None -> Python path, like the reference
+    errors on it (aacdec.c:1373)."""
     from heaac_tpu.codec.encoder import AacEncoder
 
     sr = 44100
@@ -173,7 +178,19 @@ def test_native_he_fallback_for_main():
                   -32768, 32767).astype(np.int16)[:, None]
     adts = AacEncoder(sr, 1, object_type=1).encode(pcm)
     hdr = parse_adts_header(BitReader(adts[:7]))
+    n_frames = len(split_adts_stream(adts))
     r = native.parse_he_stream(adts, hdr.sampling_index, hdr.sample_rate,
-                               hdr.chan_config,
-                               len(split_adts_stream(adts)))
+                               hdr.chan_config, n_frames)
+    assert r is not None, "Main no longer parses natively"
+
+    # rewrite the ADTS profile field to SSR (2): must fall back
+    ssr = bytearray(adts)
+    off = 0
+    while off + 7 <= len(ssr):
+        flen = ((ssr[off + 3] & 3) << 11) | (ssr[off + 4] << 3) \
+            | (ssr[off + 5] >> 5)
+        ssr[off + 2] = (ssr[off + 2] & 0x3F) | (2 << 6)
+        off += max(flen, 7)
+    r = native.parse_he_stream(bytes(ssr), hdr.sampling_index,
+                               hdr.sample_rate, hdr.chan_config, n_frames)
     assert r is None

@@ -80,6 +80,22 @@ def main():
                             seed=3, invf_modes=(0,))
         cases.append((f"cce_{point}",
                       splice_sbr_multi(cce, {(TT.TYPE_SCE, 0): w})))
+    # AAC-Main: per-lane predictor state + value-token capture
+    # (apply_main_prediction); mono SCE and stereo non-common CPE
+    main_m = AacEncoder(sr, 1, bitrate=32000, object_type=1).encode(
+        np.clip(0.3 * np.sin(2 * np.pi * 600 * t) * 3000,
+                -32768, 32767).astype(np.int16))
+    cases.append(("main_sce+sbr", splice_sbr_into_lc(main_m, sbrw(False))))
+    cases.append(("main_cpe",
+                  AacEncoder(sr, 2, bitrate=64000, object_type=1)
+                  .encode(pcm16)))
+    # 10-band PS: native-resolution iid/icc rows (PS_KND wire kinds)
+    from heaac_tpu.io.heaac_testgen import PsStreamWriter
+    ps10 = SbrStreamWriter(core_rate=sr, is_cpe=False, env_hi_shift=-12,
+                           seed=5, invf_modes=(0,),
+                           ps_writer=PsStreamWriter(seed=9, iid_mode=0,
+                                                    icc_mode=0))
+    cases.append(("ps_10band", splice_sbr_into_lc(core, ps10)))
     for name, st in cases:
         parse_all(QwirePipelinedDecoder([st] * 4, group_streams=4),
                   [st] * 4)
