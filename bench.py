@@ -72,7 +72,36 @@ def make_distinct_streams(n: int) -> list:
     return out
 
 
+def _require_device(timeout_s: int = 300) -> None:
+    """Bound device discovery: jax.devices() hangs forever (no timeout,
+    no exception) when the axon tunnel is down — emit an honest failure
+    line instead of stalling the whole bench run."""
+    import threading
+
+    out: list = []
+
+    def probe():
+        import jax
+        try:
+            out.append(jax.devices())
+        except Exception as e:  # noqa: BLE001 - report any backend error
+            out.append(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not out or isinstance(out[0], Exception):
+        detail = (repr(out[0]) if out
+                  else f"jax.devices() hung > {timeout_s}s (tunnel down)")
+        print(json.dumps(dict(metric="aggregate_realtime_x", value=0.0,
+                              unit="x_realtime", vs_baseline=0.0,
+                              error=f"device backend unavailable: {detail}")))
+        sys.stdout.flush()
+        os._exit(1)  # the probe thread is wedged in-runtime; hard-exit
+
+
 def main():
+    _require_device()
     from heaac_tpu.codec.batch import QwirePipelinedDecoder
 
     # default B=512: every lane is a genuinely distinct bitstream.  Pass a
