@@ -797,16 +797,13 @@ def decode_qwire_flip_stream(data: bytes,
     import jax
 
     from . import qwire
-    from .heaac_graph import init_qwire_flip_carry, qwire_scan_decoder_flip
+    from .heaac_graph import (init_qwire_flip_carry, qwire_scan_decoder_flip,
+                              qwire_scan_decoder_flip_couple)
 
     is34_l: list = []
     info: dict = {}
     frames_q, _rate, nl, _, ds = parse_stream_qwire(
         data, max_frames=max_frames, is34_out=is34_l, info_out=info)
-    if info.get("couple") is not None:
-        raise NotImplementedError(
-            "PS band-mode flips combined with AFTER_IMDCT CCE use the "
-            "single-stream decoder")
     T = len(frames_q)
     heap = bytearray()
     recs = np.zeros((T, nl, qwire.REC_W), np.int32)
@@ -823,14 +820,27 @@ def decode_qwire_flip_stream(data: bytes,
     sa = qwire.spec_static_args(recs)
     NB, NS, SEC = sa["NB"], sa["NS"], sa["SEC"]
     rate_idx = parse_adts_header(BitReader(bytes(data[:7]))).sampling_index
-    run = qwire_scan_decoder_flip(ds, S, rate_idx, NB, NS, SEC)
     carry = init_qwire_flip_carry(nl)
-    _, pcm = run(jax.device_put(np.frombuffer(bytes(heap), np.float32)),
-                 jax.device_put(recs.view(np.float32)), carry)
+    couple = _flatten_couple([info.get("couple")], nl, T)
+    if couple is not None:
+        # flips + AFTER_IMDCT CCE in the same stream: the flip scan keeps
+        # float output and the coupling mixes at the output rate before
+        # int16 rounding (aacdec.c:1919-1929)
+        run = qwire_scan_decoder_flip_couple(ds, S, rate_idx, NB, NS, SEC)
+        etgt, etch, esrc, gains = couple
+        _, pcm = run(jax.device_put(np.frombuffer(bytes(heap), np.float32)),
+                     jax.device_put(recs.view(np.float32)), carry,
+                     jax.device_put(etgt), jax.device_put(etch),
+                     jax.device_put(esrc), jax.device_put(gains))
+    else:
+        run = qwire_scan_decoder_flip(ds, S, rate_idx, NB, NS, SEC)
+        _, pcm = run(jax.device_put(np.frombuffer(bytes(heap), np.float32)),
+                     jax.device_put(recs.view(np.float32)), carry)
     pcm = np.asarray(pcm)            # [T, nl, 2, 2048|1024]
-    if nl == 1:
+    out_nl = info.get("out_nl", nl)  # trailing CCE lanes are not output
+    if out_nl == 1:
         return pcm[:, 0].transpose(0, 2, 1).reshape(-1, 2)
-    chans = [pcm[:, k, 0].reshape(-1) for k in range(nl)]
+    chans = [pcm[:, k, 0].reshape(-1) for k in range(out_nl)]
     return np.stack(chans, axis=-1)
 
 

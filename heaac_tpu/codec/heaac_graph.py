@@ -340,51 +340,81 @@ def _convert_ps_flip(state: HeaacState, ph: dict, to34, to20):
     return state2, ph2
 
 
-@functools.cache
-def qwire_scan_decoder_flip(downsampled: int, S: int, rate_idx: int = -1,
-                            NB: int = 0, NS: int = 52, SEC: int = 31):
-    """Flip-capable variant of qwire_scan_decoder: the PS band mode is
-    per lane per FRAME (side bit 6, qwire.build_side), so one compiled
-    graph decodes streams whose 20<->34 mode flips mid-stream — the PS
-    stage runs both band modes and selects per lane (heaac_frame
-    is34==2), and the carried PS state is converted at each lane's flip
-    boundary exactly as the reference does on its is34bands !=
-    is34bands_old frames (aacps.c:829-860).  carry gains a trailing
-    m34_prev [B] element."""
+def _flip_scan(heap_w, rec_w, carry, downsampled, S, rate_idx, NB, NS,
+               SEC, to_int16: bool):
+    """Shared flip-capable scan: the PS band mode is per lane per FRAME
+    (side bit 6, qwire.build_side), so one compiled graph decodes streams
+    whose 20<->34 mode flips mid-stream — the PS stage runs both band
+    modes and selects per lane (heaac_frame is34==2), and the carried PS
+    state is converted at each lane's flip boundary exactly as the
+    reference does on its is34bands != is34bands_old frames
+    (aacps.c:829-860).  carry holds a trailing m34_prev [B] element.
+    ``to_int16`` rounds inside the scan (memory-friendly default); the
+    couple variant keeps float output for its post-scan mix."""
     from . import compact_plan as CP
     from . import qwire
 
+    heap, rec_seq, coeffs = _qwire_decode_all_coeffs(
+        heap_w, rec_w, S, rate_idx, NB, 0, NS, SEC)
+
+    def body(c, xs):
+        state, ph, qc, m34_prev = c
+        rec_t, coef_t = xs
+        with jax.named_scope("expand_qwire"):
+            core_meta, plan, pc, qc2 = qwire.expand_frame_jax(
+                heap, rec_t, qc, -1)
+            m34 = pc.pop("m34")
+            active = pc["pc_i"][:, CP.PI_ON] > 0
+            to34 = active & (m34 > 0) & (m34_prev == 0)
+            to20 = active & (m34 == 0) & (m34_prev > 0)
+            state2, ph2 = _convert_ps_flip(state, ph, to34, to20)
+            ps0, ph0 = CP.expand_ps(pc, ph2, 0)
+            ps1, ph1 = CP.expand_ps(pc, ph2, 1)
+            sel = lambda a1, a0: jnp.where(
+                (m34 > 0).reshape((-1,) + (1,) * (a1.ndim - 1)), a1, a0)
+            ps_plan = jax.tree_util.tree_map(sel, ps1, ps0)
+            ph3 = jax.tree_util.tree_map(sel, ph1, ph0)
+            ps_plan["m34"] = m34
+        core = dict(coeffs=coef_t, **core_meta)
+        pcm, state3 = heaac_frame(core, plan, ps_plan, state2, 2,
+                                  downsampled)
+        if to_int16:
+            pcm = jnp.clip(jnp.rint(pcm), -32768, 32767).astype(jnp.int16)
+        m34_next = jnp.where(active, m34, m34_prev)
+        return (state3, ph3, qc2, m34_next), pcm
+
+    return jax.lax.scan(body, carry, (rec_seq, coeffs))
+
+
+@functools.cache
+def qwire_scan_decoder_flip(downsampled: int, S: int, rate_idx: int = -1,
+                            NB: int = 0, NS: int = 52, SEC: int = 31):
+    """Flip-capable variant of qwire_scan_decoder (see _flip_scan)."""
+
     def run(heap_w, rec_w, carry):
-        heap, rec_seq, coeffs = _qwire_decode_all_coeffs(
-            heap_w, rec_w, S, rate_idx, NB, 0, NS, SEC)
+        return _flip_scan(heap_w, rec_w, carry, downsampled, S, rate_idx,
+                          NB, NS, SEC, to_int16=True)
 
-        def body(c, xs):
-            state, ph, qc, m34_prev = c
-            rec_t, coef_t = xs
-            with jax.named_scope("expand_qwire"):
-                core_meta, plan, pc, qc2 = qwire.expand_frame_jax(
-                    heap, rec_t, qc, -1)
-                m34 = pc.pop("m34")
-                active = pc["pc_i"][:, CP.PI_ON] > 0
-                to34 = active & (m34 > 0) & (m34_prev == 0)
-                to20 = active & (m34 == 0) & (m34_prev > 0)
-                state2, ph2 = _convert_ps_flip(state, ph, to34, to20)
-                ps0, ph0 = CP.expand_ps(pc, ph2, 0)
-                ps1, ph1 = CP.expand_ps(pc, ph2, 1)
-                sel = lambda a1, a0: jnp.where(
-                    (m34 > 0).reshape((-1,) + (1,) * (a1.ndim - 1)), a1, a0)
-                ps_plan = jax.tree_util.tree_map(sel, ps1, ps0)
-                ph3 = jax.tree_util.tree_map(sel, ph1, ph0)
-                ps_plan["m34"] = m34
-            core = dict(coeffs=coef_t, **core_meta)
-            pcm, state3 = heaac_frame(core, plan, ps_plan, state2, 2,
-                                      downsampled)
-            pcm16 = jnp.clip(jnp.rint(pcm), -32768, 32767).astype(jnp.int16)
-            m34_next = jnp.where(active, m34, m34_prev)
-            return (state3, ph3, qc2, m34_next), pcm16
+    return jax.jit(run, donate_argnums=(2,))
 
-        carry, pcm = jax.lax.scan(body, carry, (rec_seq, coeffs))
-        return carry, pcm
+
+@functools.cache
+def qwire_scan_decoder_flip_couple(downsampled: int, S: int,
+                                   rate_idx: int = -1, NB: int = 0,
+                                   NS: int = 52, SEC: int = 31):
+    """Flip-capable scan + AFTER_IMDCT channel coupling: combines
+    qwire_scan_decoder_flip's per-frame PS band-mode handling with
+    qwire_scan_decoder_couple's output-rate post-scan mix
+    (aacdec.c:1919-1929), so a stream that both flips its PS band mode
+    mid-stream AND carries a point-3 CCE still decodes on device."""
+
+    def run(heap_w, rec_w, carry, etgt, etch, esrc, gains):
+        carry, pcm = _flip_scan(heap_w, rec_w, carry, downsampled, S,
+                                rate_idx, NB, NS, SEC, to_int16=False)
+        add = gains[:, :, None] * pcm[:, esrc, 0]       # [T, K, N]
+        pcm = pcm.at[:, etgt, etch].add(add)
+        return carry, jnp.clip(jnp.rint(pcm), -32768, 32767)\
+            .astype(jnp.int16)
 
     return jax.jit(run, donate_argnums=(2,))
 

@@ -131,3 +131,59 @@ def test_non_flip_streams_still_reject():
                               ps_writer=psw))
     with pytest.raises(NotImplementedError, match="band mode"):
         parse_stream_qwire(he)
+
+
+@pytest.mark.golden
+def test_flip_with_after_imdct_cce(ref_harness):
+    """A stream that both flips its PS band mode mid-stream AND carries
+    an AFTER_IMDCT (point-3) CCE decodes on device through the combined
+    flip+couple scan (qwire_scan_decoder_flip_couple) — previously this
+    combination demoted to the numpy single-stream path.  The coupling
+    mixes at the output rate after the flip-capable scan, exactly where
+    the reference applies apply_independent_coupling after ff_sbr_apply
+    (aacdec.c:1919-1929)."""
+    import subprocess
+
+    from heaac_tpu import decode_adts
+    from heaac_tpu.bitstream.aac_syntax import T as TT
+    from heaac_tpu.codec.batch import (decode_qwire_flip_stream,
+                                       parse_stream_qwire)
+    from heaac_tpu.io.heaac_testgen import (SbrStreamWriter, PsStreamWriter,
+                                            splice_cce_into_lc,
+                                            splice_sbr_multi)
+
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 15)
+    cce = splice_cce_into_lc(core, coupling_point="after")
+    psw = PsStreamWriter(seed=5, iid_mode=1, icc_mode=1,
+                         switch_at={6: (1, 2)})
+    w = SbrStreamWriter(core_rate=24000, is_cpe=False, env_hi_shift=-12,
+                        seed=11, invf_modes=(0,), grid_classes=(0,),
+                        fix_num_env=1, ps_writer=psw)
+    he = splice_sbr_multi(cce, {(TT.TYPE_SCE, 0): w})
+
+    # the flip schedule AND the coupling must both materialise
+    trail: list = []
+    info: dict = {}
+    parse_stream_qwire(he, is34_out=trail, info_out=info)
+    runs = [trail[0]] + [b for a, b in zip(trail, trail[1:]) if a != b]
+    assert tuple(runs) == (0, 1), f"mode trail {trail}"
+    assert info["couple"] is not None, "point-3 CCE edges missing"
+
+    pcm_dev = decode_qwire_flip_stream(he)
+    pcm_np, rate = decode_adts(he)
+    assert rate == 48000
+    assert pcm_dev.shape[1] == pcm_np.shape[1]
+    n = min(len(pcm_dev), len(pcm_np))
+    d = np.abs(pcm_dev[:n].astype(int) - pcm_np[:n].astype(int)).max()
+    assert d <= 2, f"flip+couple scan vs numpy: max LSB {d}"
+
+    path = STREAMS / "flip_cce.heaac"
+    path.write_bytes(he)
+    gold_path = STREAMS / "flip_cce.heaac.gold"
+    subprocess.run([ref_harness["decode"], str(path), str(gold_path)],
+                   check=True, capture_output=True)
+    gold = np.fromfile(gold_path, np.int16).reshape(-1, pcm_dev.shape[1])
+    n = min(len(pcm_dev), len(gold))
+    assert n > 20000
+    d = np.abs(pcm_dev[:n].astype(int) - gold[:n].astype(int)).max()
+    assert d <= 2, f"flip+couple scan vs reference: max LSB {d}"
