@@ -61,6 +61,50 @@ def probe(data: bytes) -> dict:
     )
 
 
+def _run_m4a_direct(args, data: bytes) -> int:
+    """Decode/probe an .m4a whose ASC is not ADTS-representable
+    (explicit hierarchical SBR signaling or in-band-PCE layouts)."""
+    import json as _json
+
+    from . import decode_m4a
+    from .bitstream.asc import parse_audio_specific_config
+    from .io.mp4 import demux_m4a
+    from .io.wav import write_wav
+
+    t = demux_m4a(data)
+    c = parse_audio_specific_config(t.asc)
+    if args.probe:
+        out_rate = c.ext_sample_rate or c.sample_rate
+        sbr = c.sbr == 1
+        dur = len(t.frames) * (2048 if sbr and out_rate > c.sample_rate
+                               else 1024) / max(out_rate, 1)
+        print(_json.dumps(dict(
+            format="m4a", object_type=c.object_type,
+            profile={1: "Main", 2: "LC"}.get(c.object_type,
+                                             str(c.object_type)),
+            core_sample_rate=c.sample_rate, output_sample_rate=out_rate,
+            channel_config=c.chan_config, sbr=sbr, ps=c.ps == 1,
+            codec=("HE-AACv2" if c.ps == 1 else "HE-AAC" if sbr
+                   else "AAC"),
+            frames=len(t.frames), duration_s=round(dur, 3),
+            bit_rate=round(8 * sum(len(f) for f in t.frames) / dur)
+            if dur else 0), indent=2))
+        return 0
+    if args.output is None:
+        print("error: output path required (or use --probe)",
+              file=sys.stderr)
+        return 1
+    pcm, rate = decode_m4a(data)
+    fmt = args.format or ("wav" if args.output.endswith(".wav") else "s16le")
+    if fmt == "wav":
+        write_wav(args.output, pcm, rate)
+    else:
+        pcm.astype("<i2").tofile(args.output)
+    print(f"decoded {len(pcm)} samples x {pcm.shape[1]} ch @ {rate} Hz",
+          file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     # HEAAC_PLATFORM=cpu pins the backend (CI runs the CLI as a
     # subprocess, where the axon site hook would otherwise pick the TPU
@@ -96,12 +140,28 @@ def main(argv=None) -> int:
     from .utils.metrics import DecodeMetrics
 
     data = open(args.input, "rb").read()
+    container = None
+    from .io.mp4 import Mp4Error, m4a_to_adts, probe_m4a
+    if probe_m4a(data):
+        # MP4/M4A input (the mov.c path): re-wrap the AAC track as ADTS
+        # so the whole pipeline below is format-agnostic; tracks ADTS
+        # cannot carry (explicit SBR signaling, the usual shape of
+        # encoder-written HE-AAC .m4a files) decode via the
+        # ASC-configured path instead
+        container = "m4a"
+        try:
+            data = m4a_to_adts(data)
+        except Mp4Error:
+            return _run_m4a_direct(args, data)
     if probe_adts(data) is None:
-        print("error: input does not look like an ADTS stream",
+        print("error: input is neither an ADTS stream nor an MP4 file",
               file=sys.stderr)
         return 1
     if args.probe:
-        print(json.dumps(probe(data), indent=2))
+        info = probe(data)
+        if container:
+            info["format"] = container
+        print(json.dumps(info, indent=2))
         return 0
     if args.output is None:
         ap.error("output path required (or use --probe)")

@@ -57,7 +57,8 @@ STREAMS = Path("/tmp/heaac_test_streams")
 
 
 def _have_reference() -> bool:
-    return (HARNESS / "ref_decode").exists()
+    return all((HARNESS / t).exists()
+               for t in ("ref_decode", "ref_mov"))
 
 
 def pytest_configure(config):
@@ -80,6 +81,7 @@ def ref_harness():
         "decode": str(HARNESS / "ref_decode"),
         "encode": str(HARNESS / "ref_encode"),
         "sbr_dump": str(HARNESS / "ref_sbr_dump"),
+        "mov": str(HARNESS / "ref_mov"),
     }
 
 

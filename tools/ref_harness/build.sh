@@ -13,4 +13,11 @@ gcc $CFLAGS -o "$OUT/ref_imdct" "$HERE/ref_imdct.c" $LIBS
 gcc $CFLAGS -o "$OUT/ref_decode" "$HERE/ref_decode.c" $LIBS
 gcc $CFLAGS -o "$OUT/ref_encode" "$HERE/ref_encode.c" $LIBS
 gcc $CFLAGS -o "$OUT/ref_sbr_dump" "$HERE/ref_sbr_dump.c" $LIBS
-echo "built: $OUT/ref_imdct $OUT/ref_decode $OUT/ref_encode $OUT/ref_sbr_dump"
+# MP4/M4A oracle needs the container layer too
+if [ ! -f "$REFBUILD/libavformat/libavformat.a" ]; then
+    (cd "$REFBUILD" && make -j"$(nproc)" libavformat/libavformat.a \
+        > lavf_build.log 2>&1)
+fi
+gcc $CFLAGS -o "$OUT/ref_mov" "$HERE/ref_mov.c" \
+    "$REFBUILD/libavformat/libavformat.a" $LIBS
+echo "built: $OUT/ref_imdct $OUT/ref_decode $OUT/ref_encode $OUT/ref_sbr_dump $OUT/ref_mov"
