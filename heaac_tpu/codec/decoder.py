@@ -206,9 +206,8 @@ class Decoder:
                 che.present_this_frame = True
 
             if etype in (T.TYPE_SCE, T.TYPE_LFE):
-                if self.use_native and m.object_type == 2:
-                    self._native_sce(br, che)
-                else:
+                if not (self.use_native and m.object_type == 2
+                        and self._native_sce(br, che)):
                     syn.decode_ics(br, che.cur[0], m.sampling_index,
                                    m.object_type, 0, self.rng)
                     if m.object_type == 1:
@@ -216,9 +215,8 @@ class Decoder:
                                              m.sampling_index, SF_SCALE)
                 present.append((etype, eid))
             elif etype == T.TYPE_CPE:
-                if self.use_native and m.object_type == 2:
-                    self._native_cpe(br, che)
-                else:
+                if not (self.use_native and m.object_type == 2
+                        and self._native_cpe(br, che)):
                     self._decode_cpe(br, che)
                 present.append((etype, eid))
             elif etype == T.TYPE_CCE:
@@ -327,27 +325,36 @@ class Decoder:
         ics.group_len = [int(v) for v in meta[5:5 + ics.num_window_groups]]
         cd.tns = syn.TnsData()  # TNS already applied natively
 
-    def _native_sce(self, br: BitReader, che) -> None:
+    def _native_sce(self, br: BitReader, che) -> bool:
+        """Returns False when the element needs the Python parser (the
+        native engine signalled -2, e.g. a predictor-carrying ics_info);
+        the bit position is untouched in that case."""
         from .. import native
         res = native.parse_sce(br._val.to_bytes(br.nbits // 8, "big"),
                                br.pos, self.m4ac.sampling_index,
                                self.rng[0])
+        if res is None:
+            return False
         coeffs, meta, newpos, self.rng[0] = res
         che.cur[0].coeffs = coeffs
         self._apply_native_meta(che.cur[0], meta)
         br.pos = newpos
+        return True
 
-    def _native_cpe(self, br: BitReader, che) -> None:
+    def _native_cpe(self, br: BitReader, che) -> bool:
         from .. import native
         res = native.parse_cpe(br._val.to_bytes(br.nbits // 8, "big"),
                                br.pos, self.m4ac.sampling_index,
                                self.rng[0])
+        if res is None:
+            return False
         (c0, c1), (m0, m1), newpos, self.rng[0] = res
         che.cur[0].coeffs = c0
         che.cur[1].coeffs = c1
         self._apply_native_meta(che.cur[0], m0)
         self._apply_native_meta(che.cur[1], m1)
         br.pos = newpos
+        return True
 
     def _skip_dse(self, br: BitReader) -> None:
         byte_align = br.get1()

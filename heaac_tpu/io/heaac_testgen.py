@@ -512,7 +512,9 @@ def splice_sbr_into_lc(lc_adts: bytes, writer: SbrStreamWriter) -> bytes:
     for f in frames:
         # find the END element position via the (validated) parser
         dec_br = BitReader(f)
-        parse_adts_header(dec_br)
+        h = parse_adts_header(dec_br)
+        # the object type is per frame (profile-flip streams are legal)
+        dec.m4ac.object_type = h.object_type
         if not hdr0.crc_absent:
             dec_br.skip(16)
         dec._parse_raw_data_block(dec_br)
@@ -775,7 +777,7 @@ def splice_sbr_multi(lc_adts: bytes, writers: dict) -> bytes:
     hdr_bits = 56
     for f in frames:
         dec_br = BitReader(f)
-        parse_adts_header(dec_br)
+        dec.m4ac.object_type = parse_adts_header(dec_br).object_type
         dec._parse_raw_data_block(dec_br)
         bw = BitWriter()
         cur = hdr_bits
@@ -820,7 +822,7 @@ def to_pce_config0(lc_adts: bytes) -> bytes:
     out = bytearray()
     for f in frames:
         dec_br = BitReader(f)
-        parse_adts_header(dec_br)
+        dec.m4ac.object_type = parse_adts_header(dec_br).object_type
         body_start = dec_br.pos
         dec._parse_raw_data_block(dec_br)
         bw = BitWriter()
@@ -887,7 +889,7 @@ def splice_cce_into_lc(lc_adts: bytes, coupling_point: str = "before",
     out = bytearray()
     for fi, f in enumerate(frames):
         dec_br = BitReader(f)
-        parse_adts_header(dec_br)
+        dec.m4ac.object_type = parse_adts_header(dec_br).object_type
         body_start = dec_br.pos
         dec._parse_raw_data_block(dec_br)
         end_pos = dec._end_bitpos

@@ -1830,15 +1830,13 @@ int ht_parse_stream(const uint8_t* buf, int64_t nbytes, int sampling_index,
     int64_t flen = ((int64_t)(buf[off + 3] & 3) << 11) |
                    ((int64_t)buf[off + 4] << 3) | (buf[off + 5] >> 5);
     if (flen < 7 || off + flen > nbytes) break;
+    // object type is per FRAME (aacdec.c:1989 re-reads the header);
+    // mid-stream LC<->Main flips just freeze/resume the predictor state
     int aot = ((buf[off + 2] >> 6) & 3) + 1;
     if (aot != 1 && aot != 2) return -2;
-    if (frame == 0) {
-      main_latch = aot == 1;
-      if (main_latch)
-        for (int l = 0; l < n_lanes; l++) pred_reset_state(st_pred_state[l]);
-    } else if ((aot == 1) != (main_latch != 0)) {
-      return -2;  // profile flips mid-stream: python fallback
-    }
+    if (frame == 0)
+      for (int l = 0; l < n_lanes; l++) pred_reset_state(st_pred_state[l]);
+    main_latch = aot == 1;
     g_object_type = main_latch ? 1 : 2;
     int64_t body = (off + (prot_absent ? 7 : 9)) * 8;
     Bits b{buf, (off + flen) * 8, body};
