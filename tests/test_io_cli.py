@@ -96,3 +96,50 @@ def test_probe_heaac_bundled():
     assert d["codec"] == "HE-AACv2"
     assert d["output_sample_rate"] == 48000
     assert d["sbr"] and d["ps"]
+
+
+def test_cli_encode(tmp_path):
+    """tpuaac encode direction (ffmpeg -i in.wav out.aac, aacenc.c):
+    WAV in -> ADTS and .m4a out, both decode back losslessly enough to
+    recover the tone, and the ADTS bitrate lands near the target."""
+    import json
+
+    sr = 24000
+    t = np.arange(sr, dtype=np.float64) / sr
+    pcm = np.stack([(6000 * np.sin(2 * np.pi * 440 * t)),
+                    (4000 * np.sin(2 * np.pi * 660 * t))],
+                   axis=1).astype(np.int16)
+    inp = tmp_path / "in.wav"
+    write_wav(str(inp), pcm, sr)
+    env = dict(os.environ, HEAAC_PLATFORM="cpu")
+
+    out_aac = tmp_path / "out.aac"
+    r = subprocess.run([sys.executable, "-m", "heaac_tpu.cli", "-i",
+                        str(inp), "-b", "96k", "--ms", "--benchmark",
+                        str(out_aac)],
+                       capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr
+    met = json.loads(r.stderr.splitlines()[0])
+    assert met["bytes"] == out_aac.stat().st_size
+    rate_bps = 8 * out_aac.stat().st_size / (len(pcm) / sr)
+    assert 0.7 * 96000 < rate_bps < 1.5 * 96000, rate_bps
+
+    out_m4a = tmp_path / "out.m4a"
+    r = subprocess.run([sys.executable, "-m", "heaac_tpu.cli", "-i",
+                        str(inp), "-b", "96k", "--ms", str(out_m4a)],
+                       capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr
+
+    # both containers decode to identical PCM; the tone survives (>20 dB)
+    got_adts, rate = decode_adts(out_aac.read_bytes())
+    from heaac_tpu import decode_m4a
+    got_m4a, rate_m = decode_m4a(out_m4a.read_bytes())
+    assert rate == sr and rate_m == sr
+    assert np.array_equal(got_adts, got_m4a)
+    # encoder delay: one 1024-sample lead-in frame
+    seg = got_adts[1024:1024 + len(pcm)].astype(np.float64)
+    refseg = pcm.astype(np.float64)
+    n = min(len(seg), len(refseg))
+    err = seg[:n] - refseg[:n]
+    snr = 10 * np.log10((refseg[:n] ** 2).sum() / max((err ** 2).sum(), 1))
+    assert snr > 20, f"round-trip SNR {snr:.1f} dB"
