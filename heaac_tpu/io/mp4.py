@@ -69,23 +69,27 @@ def _read_descr_len(data: bytes, off: int) -> tuple[int, int]:
 
 def parse_esds(body: bytes) -> bytes:
     """esds box body -> AudioSpecificConfig bytes (mov.c:494)."""
-    off = 4                                     # version + flags
-    tag = body[off]
-    ln, off = _read_descr_len(body, off + 1)
-    if tag == 0x03:                             # MP4ESDescrTag
-        off += 3                                # ES_ID + priority
-    else:
-        off += 2                                # ES_ID
-    tag = body[off]
-    ln, off = _read_descr_len(body, off + 1)
-    if tag != 0x04:                             # MP4DecConfigDescrTag
-        raise Mp4Error(f"esds: expected DecoderConfig, got tag {tag:#x}")
-    object_type_id = body[off]
-    if object_type_id not in (0x40, 0x66, 0x67, 0x68):  # MPEG-4/2 AAC
-        raise Mp4Error(f"esds: not an AAC object_type_id {object_type_id:#x}")
-    off += 13                   # otid, stream type, buf size, max/avg bitrate
-    tag = body[off]
-    ln, off = _read_descr_len(body, off + 1)
+    try:
+        off = 4                                 # version + flags
+        tag = body[off]
+        ln, off = _read_descr_len(body, off + 1)
+        if tag == 0x03:                         # MP4ESDescrTag
+            off += 3                            # ES_ID + priority
+        else:
+            off += 2                            # ES_ID
+        tag = body[off]
+        ln, off = _read_descr_len(body, off + 1)
+        if tag != 0x04:                         # MP4DecConfigDescrTag
+            raise Mp4Error(f"esds: expected DecoderConfig, got tag {tag:#x}")
+        object_type_id = body[off]
+        if object_type_id not in (0x40, 0x66, 0x67, 0x68):  # MPEG-4/2 AAC
+            raise Mp4Error(
+                f"esds: not an AAC object_type_id {object_type_id:#x}")
+        off += 13               # otid, stream type, buf size, max/avg bitrate
+        tag = body[off]
+        ln, off = _read_descr_len(body, off + 1)
+    except IndexError:
+        raise Mp4Error("esds: truncated descriptor chain") from None
     if tag != 0x05:                             # MP4DecSpecificDescrTag
         raise Mp4Error(f"esds: expected DecoderSpecificInfo, got tag {tag:#x}")
     if off + ln > len(body):
@@ -106,7 +110,15 @@ def demux_m4a(data: bytes) -> M4aTrack:
     """Parse an MP4/M4A file and return its (first) AAC audio track:
     ASC extradata + the raw AAC access units, reassembled through the
     stsc/stco/stsz chunk maps exactly as mov.c builds its sample index
-    (mov_build_index)."""
+    (mov_build_index).  Malformed input raises Mp4Error (never
+    struct.error / IndexError / unbounded allocation)."""
+    try:
+        return _demux_m4a(data)
+    except (struct.error, IndexError) as e:
+        raise Mp4Error(f"truncated or malformed MP4 structure: {e}") from None
+
+
+def _demux_m4a(data: bytes) -> M4aTrack:
     top = {fc: (a, b) for fc, a, b in _boxes(data, 0, len(data))}
     if b"moof" in top:
         raise Mp4Error("fragmented MP4 (moof) unsupported")
@@ -166,25 +178,44 @@ def demux_m4a(data: bytes) -> M4aTrack:
         asc = parse_esds(data[esds[0]:esds[1]])
 
         # ---- sample tables ----------------------------------------------
-        sza, _ = boxes[b"stsz"]
+        # every table read is bounded to ITS OWN box (a hostile count
+        # must not read adjacent file bytes as table entries or allocate
+        # unboundedly; mov.c caps via atom.size the same way)
+        if not {b"stsz", b"stsc"} <= boxes.keys():
+            raise Mp4Error("missing stsz/stsc sample table")
+        if not {b"stco", b"co64"} & boxes.keys():
+            raise Mp4Error("missing stco/co64 chunk offsets")
+        sza, szb = boxes[b"stsz"]
+        if szb - sza < 12:
+            raise Mp4Error("truncated stsz")
         fixed = struct.unpack_from(">I", data, sza + 4)[0]
         count = struct.unpack_from(">I", data, sza + 8)[0]
         if fixed:
+            if fixed * count > len(data):
+                raise Mp4Error(f"stsz claims {count}x{fixed} B > file size")
             sizes = [fixed] * count
         else:
+            if sza + 12 + 4 * count > szb:
+                raise Mp4Error(f"stsz table ({count} entries) overruns box")
             sizes = list(struct.unpack_from(f">{count}I", data, sza + 12))
 
         if b"stco" in boxes:
-            ca, _ = boxes[b"stco"]
+            ca, cb = boxes[b"stco"]
             nch = struct.unpack_from(">I", data, ca + 4)[0]
+            if ca + 8 + 4 * nch > cb:
+                raise Mp4Error(f"stco table ({nch} entries) overruns box")
             chunk_offs = struct.unpack_from(f">{nch}I", data, ca + 8)
         else:
-            ca, _ = boxes[b"co64"]
+            ca, cb = boxes[b"co64"]
             nch = struct.unpack_from(">I", data, ca + 4)[0]
+            if ca + 8 + 8 * nch > cb:
+                raise Mp4Error(f"co64 table ({nch} entries) overruns box")
             chunk_offs = struct.unpack_from(f">{nch}Q", data, ca + 8)
 
-        sca, _ = boxes[b"stsc"]
+        sca, scb = boxes[b"stsc"]
         nsc = struct.unpack_from(">I", data, sca + 4)[0]
+        if sca + 8 + 12 * nsc > scb:
+            raise Mp4Error(f"stsc table ({nsc} entries) overruns box")
         stsc = [struct.unpack_from(">III", data, sca + 8 + 12 * i)
                 for i in range(nsc)]          # (first_chunk, per_chunk, _)
 

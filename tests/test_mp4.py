@@ -191,3 +191,60 @@ def test_demux_rejects_garbage():
         demux_m4a(b"\x00\x00\x00\x08ftyp" + b"\x00" * 64)
     with pytest.raises(Mp4Error):       # truncated box
         demux_m4a(b"\x00\x00\xff\xffmoov")
+
+
+def test_demux_fuzz_robustness():
+    """Structured fuzz over the demuxer: truncations, byte flips, and
+    targeted hostile sample-table counts must all either parse or raise
+    Mp4Error -- never struct.error/IndexError, never an allocation bomb
+    (mov.c bounds every table read by atom.size the same way)."""
+    import random
+
+    from heaac_tpu.io.adts import make_asc
+
+    asc = make_asc(2, 4, 2)
+    frames = [bytes([i & 0xFF] * (20 + 7 * (i % 13))) for i in range(40)]
+    good = mux_m4a(frames, asc, 44100, 2, frames_per_chunk=7)
+    demux_m4a(good)                       # sanity: the base file parses
+
+    def check(blob):
+        try:
+            t = demux_m4a(blob)
+            # chunks may overlap after mutation (sum can exceed the file),
+            # but every individual sample read must have been in bounds
+            assert all(len(f) <= len(blob) for f in t.frames)
+        except Mp4Error:
+            pass
+
+    # every truncation length
+    for n in range(0, len(good), 17):
+        check(good[:n])
+    # deterministic random byte flips (3 per mutant)
+    rng = random.Random(0xAAC)
+    for _ in range(300):
+        b = bytearray(good)
+        for _ in range(3):
+            b[rng.randrange(len(good))] = rng.randrange(256)
+        check(bytes(b))
+
+    # targeted: hostile counts in stsz/stsc/stco must not allocate
+    # count*entry memory or read past their boxes
+    import struct as st
+
+    def patch_u32(blob, fourcc, field_off, val):
+        i = blob.find(fourcc)
+        assert i > 0, fourcc
+        b = bytearray(blob)
+        st.pack_into(">I", b, i + 4 + field_off, val)
+        return bytes(b)
+
+    for fourcc, off in ((b"stsz", 8), (b"stsc", 4), (b"stco", 4)):
+        hostile = patch_u32(good, fourcc, off, 0x7FFFFFFF)
+        with pytest.raises(Mp4Error):
+            demux_m4a(hostile)
+    # hostile fixed-size stsz: fixed*count far beyond the file
+    b = bytearray(good)
+    i = b.find(b"stsz")
+    st.pack_into(">II", b, i + 8, 0x10000, 0x10000)   # fixed, count
+    with pytest.raises(Mp4Error):
+        demux_m4a(bytes(b))
