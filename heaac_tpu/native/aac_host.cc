@@ -171,6 +171,41 @@ static inline int vlc_get_at(const uint8_t* buf, int64_t nbits,
   return sym;
 }
 
+// Cached-window VLC cursor: one 8-byte fetch serves a run of short
+// symbols (vlc_get_at rebuilds the 64-bit window per call, which
+// dominates the PS/SBR side-huffman loops at ~15 cyc/symbol overhead).
+// The window holds 64 - (base & 7) valid bits; refill when the next
+// symbol's worst case (v.max_bits) could cross that edge.
+struct VCur {
+  const uint8_t* buf;
+  int64_t nbits;
+  int64_t pos;
+  uint64_t w;
+  int64_t base;
+  int nv;
+  void refill();
+  inline int sym(const Vlc& v) {
+    int off = (int)(pos - base);
+    if (__builtin_expect(off + v.max_bits > nv, 0)) {
+      refill();
+      off = 0;
+    }
+    uint32_t pre = (uint32_t)((w << off) >> (64 - v.lb));
+    int32_t e = v.ent[pre];
+    if (__builtin_expect(e < 0, 0)) {
+      int extra = (-e) & 31;
+      int64_t soff = (-e) >> 5;
+      uint32_t si = (uint32_t)(((w << off) >> (64 - v.lb - extra))
+                               & ((1u << extra) - 1));
+      e = v.sub[soff + si];
+    }
+    int s = e & 0xFFFF;
+    if (s == 0xFFFF) return -1;
+    pos += e >> 16;
+    return s;
+  }
+};
+
 static inline int vlc_get(Bits* b, const Vlc& v) {
   uint32_t pre = showbits(*b, v.lb);
   int32_t e = v.ent[pre];
@@ -443,12 +478,24 @@ static inline uint64_t wnd64(const uint8_t* buf, int64_t nbits,
   return x << (at & 7);
 }
 
+void VCur::refill() {
+  base = pos;
+  w = wnd64(buf, nbits, pos);
+  nv = 64 - (int)(pos & 7);
+}
+
 // length-walk table: [cb][11-bit window] -> total advance in bits (code +
 // sign bits) in bits 0-5, cb11 escape count in bits 6-7; 0 = slow path
 // (code longer than 11 bits or invalid window).  The walk costs ~6
 // cycles/code vs ~40 for the full value decode — the spec-mode lane
 // never needs the values (the device Huffman-decodes the raw bits).
 static uint8_t cb_walk[12][2048];
+// NOTE(perf, measured 2026-08-19): a multi-symbol variant of this table
+// (11-bit window -> greedy run of complete codes, advancing 1-3 codes per
+// lookup) was built and benchmarked; it ran ~7% SLOWER end-to-end on the
+// bench corpus -- the extra 4 KB/book of L1 pressure and the per-run
+// break branch cost more than the saved lookups (real streams average
+// only ~1.3 codes per 11-bit window with the mid-rate pair books).
 
 struct SpecCap {
   int ok = 0;        // capture valid for the lane just parsed
@@ -725,9 +772,8 @@ static int parse_scalefactors(Bits* b, Chan* ch, int global_gain) {
   int offset[3] = {global_gain, global_gain - 90, 100};
   int noise_flag = 1;
   int idx = 0;
-  int64_t pos = b->pos;
-  const uint8_t* buf = b->buf;
-  const int64_t nbits = b->nbits;
+  VCur c{b->buf, b->nbits, b->pos};
+  c.refill();
   for (int g = 0; g < ics->num_window_groups; g++) {
     for (int i = 0; i < ics->max_sfb;) {
       int run_end = ch->band_run_end[idx];
@@ -739,41 +785,42 @@ static int parse_scalefactors(Bits* b, Chan* ch, int global_gain) {
         }
       } else if (bt == 14 || bt == 15) {  // intensity
         for (; i < run_end; i++, idx++) {
-          int d = vlc_get_at(buf, nbits, &pos, vlc_sf);
-          if (d < 0) { b->pos = pos; return -1; }
+          int d = c.sym(vlc_sf);
+          if (d < 0) { b->pos = c.pos; return -1; }
           offset[2] += d - 60;
-          if ((unsigned)offset[2] > 255u) { b->pos = pos; return -1; }
+          if ((unsigned)offset[2] > 255u) { b->pos = c.pos; return -1; }
           ch->sf[idx] = ht_pow2sf[-offset[2] + 300];
           ch->sfwb[idx] = (uint16_t)((-offset[2] + 300) | 0x8000);
         }
       } else if (bt == 13) {  // noise
         for (; i < run_end; i++, idx++) {
           if (noise_flag-- > 0) {
-            b->pos = pos;
+            b->pos = c.pos;
             offset[1] += (int)getbits(b, 9) - 256;
-            pos = b->pos;
+            c.pos = b->pos;
+            c.refill();
           } else {
-            int d = vlc_get_at(buf, nbits, &pos, vlc_sf);
-            if (d < 0) { b->pos = pos; return -1; }
+            int d = c.sym(vlc_sf);
+            if (d < 0) { b->pos = c.pos; return -1; }
             offset[1] += d - 60;
           }
-          if ((unsigned)offset[1] > 255u) { b->pos = pos; return -1; }
+          if ((unsigned)offset[1] > 255u) { b->pos = c.pos; return -1; }
           ch->sf[idx] = -ht_pow2sf[offset[1] + sf_off + 100];
           ch->sfwb[idx] = (uint16_t)(offset[1] + sf_off + 100);
         }
       } else {
         for (; i < run_end; i++, idx++) {
-          int d = vlc_get_at(buf, nbits, &pos, vlc_sf);
-          if (d < 0) { b->pos = pos; return -1; }
+          int d = c.sym(vlc_sf);
+          if (d < 0) { b->pos = c.pos; return -1; }
           offset[0] += d - 60;
-          if ((unsigned)offset[0] > 255u) { b->pos = pos; return -1; }
+          if ((unsigned)offset[0] > 255u) { b->pos = c.pos; return -1; }
           ch->sf[idx] = -ht_pow2sf[offset[0] + sf_off];
           ch->sfwb[idx] = (uint16_t)(offset[0] + sf_off);
         }
       }
     }
   }
-  b->pos = pos;
+  b->pos = c.pos;
   return 0;
 }
 
