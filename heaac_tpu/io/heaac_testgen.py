@@ -645,7 +645,29 @@ class PsStreamWriter:
             prev = val
         return
 
-    def ps_payload(self) -> BitWriter:
+    def ps_payload(self, max_bytes: int = 269) -> BitWriter:
+        """One ps_data payload, bounded by the FIL container it must fit
+        in (a FIL extension payload is at most 269 bytes, 4-bit count +
+        8-bit esc, aacdec.c:1650-1668): oversized random draws are
+        re-rolled with the mirrored delta state rewound, because a real
+        encoder could never emit them."""
+        snap = (self._force_header, self._force_df, self.num_env,
+                getattr(self, "num_env_old", 0), self.frame_idx,
+                self.iid.copy(), self.icc.copy(), self.ipd.copy(),
+                self.opd.copy())
+        for _ in range(64):
+            bw = self._gen_ps_payload()
+            if max_bytes is None or (bw.nbits + 7) // 8 <= max_bytes:
+                return bw
+            (self._force_header, self._force_df, self.num_env,
+             self.num_env_old, self.frame_idx) = snap[:5]
+            self.iid[:] = snap[5]
+            self.icc[:] = snap[6]
+            self.ipd[:] = snap[7]
+            self.opd[:] = snap[8]
+        return bw
+
+    def _gen_ps_payload(self) -> BitWriter:
         PSyn = self.PSyn
         rng = self.rng
         if self.frame_idx in self.switch_at:
