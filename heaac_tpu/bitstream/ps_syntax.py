@@ -62,6 +62,14 @@ class PSContext:
         self.opd_par = np.zeros((PS_MAX_NUM_ENV, PS_MAX_NR_IIDICC), np.int64)
         self.is34bands = 0
         self.is34bands_old = 0
+        # wire-v5 raw-region capture (set by read_ps_data on success;
+        # consumed + cleared by codec/qwire.build_side)
+        self.wire_fresh = 0
+        self.wire_header = 0
+        self.wire_ne_pre = 0
+        self.wire_bitoff = 0
+        self.wire_rbits = 0
+        self.wire_region = b""
         # DSP state (ops/ps_np.py)
         self.in_buf = np.zeros((5, 44, 2), np.float32)
         self.delay = np.zeros((91, 32 + 14, 2), np.float32)
@@ -161,6 +169,12 @@ def read_ps_data(ps: PSContext, br_host: BitReader, bits_left: int) -> int:
                 ps.border_position[e] = (
                     (e * PS_QMF_TIME_SLOTS) >> _LOG2[ps.num_env]) - 1
 
+        # wire-v5 capture (codec/qwire PS sub-block): the entropy-coded
+        # half from the first iid dt bit to the end of the payload ships
+        # as raw bits and decodes on device (ops/ps_huff)
+        ne_pre = ps.num_env
+        region_bit = br.pos
+
         iq = ps.iid_quant
         if ps.enable_iid:
             for e in range(ps.num_env):
@@ -227,6 +241,18 @@ def read_ps_data(ps: PSContext, br_host: BitReader, bits_left: int) -> int:
 
         consumed = br.pos - start
         if consumed <= bits_left:
+            b0 = region_bit >> 3
+            rbits = (start + bits_left) - 8 * b0
+            nby = (rbits + 7) // 8
+            shift = br.nbits - 8 * b0 - 8 * nby
+            v = br._val >> shift if shift >= 0 else br._val << -shift
+            ps.wire_region = (v & ((1 << (8 * nby)) - 1)).to_bytes(nby,
+                                                                   "big")
+            ps.wire_bitoff = region_bit & 7
+            ps.wire_rbits = rbits
+            ps.wire_ne_pre = ne_pre
+            ps.wire_header = header
+            ps.wire_fresh = 1
             br_host.skip(consumed)
             return consumed
         raise ValueError("PS overread")

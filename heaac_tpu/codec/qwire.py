@@ -24,7 +24,11 @@ performing dequantization and plan expansion inside the jitted graph:
   - Frequency tables and patch maps (static between SBR header resets,
     sbr.h:80-107) travel once per reset in a header block carried on device
     between frames.
-  - PS parameters travel as the mapped 8-bit indices at their true count.
+  - PS parameters travel as the RAW entropy-coded ps_data bits (wire v5):
+    the host parses only the fixed-width prefix (aacps.c:150-233) and the
+    device runs the parameter Huffman decode (ops/ps_huff.py), the
+    delta/limit logic, and the band-resolution remap, with the PSContext
+    persistence carried as device state.
 
 Token decode is fully parallel (no scan): every token is one byte whose
 *advance* is a function of the byte alone, so output positions are an
@@ -125,26 +129,36 @@ SIDE_HEAD = 13
 # is an SCE with 4-envelope 34-band PS incl. IPD/OPD at ~706 bytes)
 SIDE_MAX = 768
 
-# PS sub-block v3 (byte offsets within the PS section)
-# b0: nenv(3) | ipdopd<<3 | quant<<4 | iccmode(3)<<5
-# b1: iid_kind(2) | icc_kind(2)<<2  — native band resolution per row
-#     type: 0/1/2 = 10/20/34 bands, 3 = disabled (zero-width rows)
-# b2: nipd
+# PS sub-block v4 / wire v5 (byte offsets within the PS section): the
+# entropy-coded half of ps_data (iid/icc rows + the extension container
+# with ipd/opd) ships as RAW BITSTREAM BITS and decodes on device
+# (ops/ps_huff.py); the host parses only the fixed-width prefix
+# (header flags, frame class, borders — aacps.c:150-233 before the
+# first READ_PAR_DATA) and bulk-copies the rest of the FIL payload.
+# b0: penv(3, post-fixup) | header<<3 | quant<<4 | iccmode(3)<<5
+# b1: iid_kind(2) | icc_kind(2)<<2 | enable_ext<<4 | bitoff(3)<<5
+#     kind: 0/1/2 = 10/20/34-band native resolution, 3 = disabled
+# b2: nipd (nr_ipdopd_par)
 # b3: top
 # b4..b9: border_position[0..5] (i8)
+# b10: ne_pre(3, pre-fixup) | fresh<<3 | (rbits>>8)(4)<<4
+# b11: rbits & 255
+# then, iff fresh: ceil(rbits/8) raw region bytes starting at the byte
+# that holds the first iid dt bit (bit `bitoff` of byte 0); rbits
+# counts from that byte boundary to the end of the ps_data payload.
+# Frames where PS is active but no ps_data arrived (fresh=0) replay the
+# device-carried decoded rows (the reference's PSContext persistence).
 PS_B0 = 0
 PS_KND = 1
 PS_NIPD = 2
 PS_TOP = 3
 PS_BORD = 4
-PS_HEAD = 10
-# iid rows: per env, nr_iid i8 bytes when iid_quant (fine) else
-# ceil(nr_iid/2) nibble bytes (coarse values in [-7,7], stored +7);
-# icc rows: per env ceil(nr_icc/2) nibble bytes (codes 0..7);
-# ipd/opd rows: per env ceil(nipd/2) nibble bytes (codes 0..7).
-# iid/icc ship at NATIVE band resolution (nr_*_par); the device remaps
+PS_NE = 10
+PS_RB = 11
+PS_HEAD = 12
+# iid/icc decode at NATIVE band resolution (nr_*_par); the device remaps
 # to the 20/34-band mixing resolution via ps_np.REMAP_TABLES_FULL
-# (aacps.c remap20/remap34) — 10-band streams save ~half the row bytes.
+# (aacps.c remap20/remap34), ipd/opd via REMAP_TABLES_PART.
 PS_KIND_OF = {0: 3, 10: 0, 20: 1, 34: 2}
 PS_WIDTH = [10, 20, 34, 0]
 
@@ -153,6 +167,12 @@ def ps_np_tables():
     """[to34][src_kind][34][9] device remap tables (see ops/ps_np)."""
     from ..ops import ps_np
     return ps_np.REMAP_TABLES_FULL
+
+
+def ps_np_tables_part():
+    """Same, for ipd/opd (src_kind 0/1/2 = 5/11/17 native bands)."""
+    from ..ops import ps_np
+    return ps_np.REMAP_TABLES_PART
 
 # ---- header block -----------------------------------------------------------
 H_N0, H_N1, H_NQ, H_NLIM, H_NPATCH, H_KX1, H_M1, H_FLAGS, H_LIMG = range(9)
@@ -334,43 +354,36 @@ def build_side(sbr, ch: int, id_aac: int, err: int = 0,
         b.extend(bits.to_bytes(6, "little"))
     ps = getattr(sbr, "ps", None)
     if ps is not None and ps.start and ch == 0 and id_aac != TYPE_CPE:
-        from ..ops import ps_np
         b[1] |= 1 << 5
         # bit 6: THIS frame's PS band mode.  The static per-mode scan
         # graphs ignore it; the flip-capable graph (decode_batch's
         # band-mode-flip route) reads it per lane per frame.
         if is34:
             b[1] |= 1 << 6
+        fresh = int(getattr(ps, "wire_fresh", 0))
         pb = bytearray(PS_HEAD)
-        pb[PS_B0] = (int(ps.num_env) | (int(ps.enable_ipdopd) << 3)
+        pb[PS_B0] = (int(ps.num_env)
+                     | (int(getattr(ps, "wire_header", 0) if fresh else 0)
+                        << 3)
                      | (int(ps.iid_quant) << 4)
                      | ((int(ps.icc_mode) & 7) << 5))
-        nr_iid, nr_icc = int(ps.nr_iid_par), int(ps.nr_icc_par)
-        pb[PS_KND] = PS_KIND_OF[nr_iid] | (PS_KIND_OF[nr_icc] << 2)
+        iid_knd = PS_KIND_OF[int(ps.nr_iid_par)] if ps.enable_iid else 3
+        icc_knd = PS_KIND_OF[int(ps.nr_icc_par)] if ps.enable_icc else 3
+        bitoff = int(getattr(ps, "wire_bitoff", 0)) if fresh else 0
+        pb[PS_KND] = (iid_knd | (icc_knd << 2)
+                      | (int(ps.enable_ext) << 4) | (bitoff << 5))
         pb[PS_NIPD] = int(ps.nr_ipdopd_par)
         pb[PS_TOP] = int(sbr.kx[1] + sbr.m[1])
         for e2 in range(min(int(ps.num_env) + 1, 6)):
             pb[PS_BORD + e2] = int(ps.border_position[e2]) & 0xFF
-        for e2 in range(int(ps.num_env)):
-            if ps.iid_quant:
-                pb.extend(int(x) & 0xFF for x in ps.iid_par[e2][:nr_iid])
-            else:
-                pb.extend(pack_nibbles(
-                    [int(x) + 7 for x in ps.iid_par[e2][:nr_iid]]))
-        for e2 in range(int(ps.num_env)):
-            pb.extend(pack_nibbles(
-                [int(x) for x in ps.icc_par[e2][:nr_icc]]))
-        if ps.enable_ipdopd:
-            nip = min(int(ps.nr_ipdopd_par), 17)
-            ipd = ps_np._remap(ps.ipd_par, ps.nr_ipdopd_par, ps.num_env,
-                               0, is34)
-            opd = ps_np._remap(ps.opd_par, ps.nr_ipdopd_par, ps.num_env,
-                               0, is34)
-            for e2 in range(int(ps.num_env)):
-                pb.extend(pack_nibbles([int(x) for x in ipd[e2][:nip]]))
-            for e2 in range(int(ps.num_env)):
-                pb.extend(pack_nibbles([int(x) for x in opd[e2][:nip]]))
+        rbits = int(getattr(ps, "wire_rbits", 0)) if fresh else 0
+        pb[PS_NE] = ((int(getattr(ps, "wire_ne_pre", 0)) & 7) if fresh
+                     else 0) | (fresh << 3) | (((rbits >> 8) & 15) << 4)
+        pb[PS_RB] = rbits & 0xFF
         b.extend(pb)
+        if fresh:
+            b.extend(ps.wire_region[:(rbits + 7) // 8])
+            ps.wire_fresh = 0
     # advance the host noise/sine phase exactly like the other builders
     nslots = 2 * (int(d.t_env[ne]) - int(d.t_env[0]))
     d.f_indexnoise = (d.f_indexnoise + nslots * int(sbr.m[1])) & 0x1FF
@@ -609,6 +622,7 @@ def init_qcarry(B: int):
     # kx starts at 32 (the spec-typo pure-upsampling init, aacsbr.c:130):
     # lanes that never receive an SBR header — LFE, plain-LC lanes in a
     # multi-element stream — must pass X_low through all 32 core bands
+    from ..ops import ps_huff
     hdr0 = jnp.zeros((B, HDR_MAX), jnp.int32).at[:, H_KX1].set(32)
     return dict(
         hdr=hdr0,
@@ -617,6 +631,10 @@ def init_qcarry(B: int):
         tend=jnp.zeros((B,), jnp.int32),
         ws_prev=jnp.zeros((B,), jnp.int32),
         kbd_prev=jnp.zeros((B,), jnp.int32),
+        # wire-v5 PS entropy decode: cross-frame Huffman state + the last
+        # decoded pc_b rows (replayed on frames without fresh ps_data)
+        ps=ps_huff.init_ps_carry(B),
+        ps_pcb=jnp.zeros((B, 510), jnp.int8),
     )
 
 
@@ -967,23 +985,54 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
         i_temp=itemp, use_y_old=use_y_old, use_y_new=use_y_new,
         xlow_old=xlow_old, xlow_new=xlow_new, scatter_m=scatter_m)
 
-    # ---- PS block -> pc_i / pc_b equivalents -------------------------------
+    # ---- PS block -> pc_i / pc_b equivalents (wire v5) ---------------------
+    # The head ships the fixed-width fields every PS frame; the entropy
+    # half arrives as raw bits (fresh frames) and decodes on device via
+    # ops/ps_huff; dataless frames replay the carried pc_b rows.
+    from ..ops import ps_huff
+
     pg = lambda off, n: jnp.take_along_axis(
         side, (off[:, None] + jnp.arange(n)[None, :]).clip(0, SIDE_MAX - 1),
         axis=1)
     psb = pg(ps_off, PS_HEAD)
     pb0 = psb[:, PS_B0]
     penv = (pb0 & 7) * ps_on
-    ipdopd_on = ((pb0 >> 3) & 1) * ps_on
+    ps_hdr = ((pb0 >> 3) & 1) * ps_on
     pquant = ((pb0 >> 4) & 1) * ps_on
+    pknd = psb[:, PS_KND] * ps_on
+    enable_ext = (pknd >> 4) & 1
+    bitoff = (pknd >> 5) & 7
+    nipd = (psb[:, PS_NIPD] * ps_on).clip(0, 17)
+    nb10 = psb[:, PS_NE] * ps_on
+    ne_pre = nb10 & 7
+    fresh = (nb10 >> 3) & 1
+    rbits = (psb[:, PS_RB] * ps_on) | (((nb10 >> 4) & 15) << 8)
+    live = ps_on * fresh
     if is34 == -1:
         # flip-capable graph: the band mode is per lane per frame, read
         # from side bit 6 (build_side); the remap target follows it
         m34 = ((flags >> 6) & 1) * ps_on
     else:
         m34 = None
+    widths = jnp.asarray(PS_WIDTH, jnp.int32)
+    nr_iid = jnp.take(widths, pknd & 3)                 # 0 when kind==3
+    nr_icc = jnp.take(widths, (pknd >> 2) & 3)
+    region = pg(ps_off + PS_HEAD, ps_huff.RW)
+    iid_n, icc_n, ipd_n, opd_n, pd_on, ok_now, psc2 = \
+        ps_huff.decode_ps_region_jax(
+            region, start_off=bitoff * live, rbits=rbits * live,
+            enable_iid=(nr_iid > 0).astype(jnp.int32) * live,
+            iq=pquant * live, nr_iid=nr_iid * live,
+            enable_icc=(nr_icc > 0).astype(jnp.int32) * live,
+            nr_icc=nr_icc * live, enable_ext=enable_ext * live,
+            ne_pre=ne_pre * live, penv=penv * live, nipd=nipd * live,
+            header=ps_hdr * live, carry=carry["ps"])
+    ok_eff = jnp.where(fresh > 0, ok_now, carry["ps"]["ps_ok"]) \
+        .clip(0, 1) * ps_on
+    ipdopd_on = jnp.where(fresh > 0, pd_on,
+                          carry["ps"]["pd_enable"]).clip(0, 1) * ps_on
     pc_i = jnp.zeros((B, CP.PC_I_N), jnp.int32)
-    pc_i = pc_i.at[:, CP.PI_ON].set(ps_on)
+    pc_i = pc_i.at[:, CP.PI_ON].set(ok_eff)
     pc_i = pc_i.at[:, CP.PI_IPD].set(ipdopd_on)
     pc_i = pc_i.at[:, CP.PI_QUANT].set(pquant)
     pc_i = pc_i.at[:, CP.PI_NENV].set(penv)
@@ -993,42 +1042,24 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
     bords = ((psb[:, PS_BORD:PS_BORD + 6] ^ 128) - 128) \
         * ps_on[:, None]                                # i8 semantics
     pc_i = pc_i.at[:, CP.PI_BORD:CP.PI_BORD + 6].set(bords)
-    # iid/icc rows ship at native band resolution (PS_KND kinds); the
-    # mixing-resolution remap (aacps.c remap20/remap34) runs on device
-    pknd = psb[:, PS_KND] * ps_on
-    widths = jnp.asarray(PS_WIDTH, jnp.int32)
-    nr_iid = jnp.take(widths, pknd & 3)                 # [B]
-    nr_icc = jnp.take(widths, (pknd >> 2) & 3)
-    nr_iid_nib = (nr_iid + 1) // 2
-    nr_icc_nib = (nr_icc + 1) // 2
-    iid_off = ps_off + PS_HEAD
-    iid_bpe = jnp.where(pquant > 0, nr_iid, nr_iid_nib)  # bytes per env
-    icc_off = iid_off + penv * iid_bpe
-    j34 = jnp.arange(34)[None, None, :]
-    em5 = jnp.arange(5)[None, :, None]
 
-    def gather_ps(pos):
-        return jnp.take_along_axis(side, pos.clip(0, SIDE_MAX - 1)
-                                   .reshape(B, -1), axis=1)\
-            .reshape(B, 5, 34)
-
-    def valid_mask(width):
-        return (em5 < penv[:, None, None]) & (j34 < width) \
-            & (ps_on > 0)[:, None, None]
-
+    # mixing-resolution remap (aacps.c remap20/remap34) on device
     if m34 is None:
         tabs = jnp.asarray(ps_np_tables()[is34])         # [3][34][9]
-        tab_of = lambda kind: jnp.take(tabs, kind.clip(0, 2), axis=0)
+        tabs_p = jnp.asarray(ps_np_tables_part()[is34])
+        tab_of = lambda tt, kind: jnp.take(tt, kind.clip(0, 2), axis=0)
     else:
         both = jnp.asarray(ps_np_tables()).reshape(6, 34, 9)
-        tab_of = lambda kind: jnp.take(
-            both, (m34 * 3 + kind.clip(0, 2)).clip(0, 5), axis=0)
+        both_p = jnp.asarray(ps_np_tables_part()).reshape(6, 34, 9)
+        tabs, tabs_p = both, both_p
+        tab_of = lambda tt, kind: jnp.take(
+            tt, (m34 * 3 + kind.clip(0, 2)).clip(0, 5), axis=0)
 
-    def remap_dev(vals, kind):
+    def remap_dev(vals, kind, tt):
         """vals [B,5,34] at native resolution -> mixing resolution via
         out[i] = tdiv(sum_j w_j*vals[s_j], den) (C truncation; den==0
         rows are 0, which also zeroes past the target width)."""
-        tab = tab_of(kind)                               # [B,34,9]
+        tab = tab_of(tt, kind)                           # [B,34,9]
         s = jnp.broadcast_to(tab[:, :, 0:4].reshape(B, 1, 136),
                              (B, 5, 136))
         g = jnp.take_along_axis(vals, s, axis=2).reshape(B, 5, 34, 4)
@@ -1037,48 +1068,41 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
         q = jnp.sign(num) * (jnp.abs(num) // jnp.maximum(den, 1))
         return jnp.where(den > 0, q, 0)
 
-    nr_iid3 = nr_iid[:, None, None]
-    # iid: i8 bytes (fine quant) or +7-biased nibbles (coarse)
-    vb = gather_ps(iid_off[:, None, None] + em5 * nr_iid3
-                   + jnp.minimum(j34, nr_iid3 - 1))
-    vbyte = (vb ^ 128) - 128
-    vn = gather_ps(iid_off[:, None, None] + em5 * nr_iid_nib[:, None, None]
-                   + (j34 >> 1))
-    vnib = ((vn >> (4 * (j34 & 1))) & 15) - 7
-    iid = jnp.where(valid_mask(nr_iid3),
-                    jnp.where(pquant[:, None, None] > 0, vbyte, vnib), 0)
-    iid = remap_dev(iid, pknd & 3)
-    # icc: raw-code nibbles
-    vn = gather_ps(icc_off[:, None, None] + em5 * nr_icc_nib[:, None, None]
-                   + (j34 >> 1))
-    icc = jnp.where(valid_mask(nr_icc[:, None, None]),
-                    (vn >> (4 * (j34 & 1))) & 15, 0)
-    icc = remap_dev(icc, (pknd >> 2) & 3)
-    nipd = psb[:, PS_NIPD].clip(0, 17)
-    nipd_nib = (nipd + 1) >> 1
-    ipd_off = icc_off + penv * nr_icc_nib
-    opd_off = ipd_off + penv * nipd_nib * ipdopd_on
+    iid = remap_dev(iid_n, pknd & 3, tabs)
+    icc = remap_dev(icc_n, (pknd >> 2) & 3, tabs)
+    # ipd/opd: native 5/11/17 bands -> part kind 0/1/2; the host builder
+    # writes only the first nr_ipdopd_par values per row (compact_plan
+    # build_ps_compact), so mask past nipd
+    pkind = (nipd >= 11).astype(jnp.int32) + (nipd >= 17)
+    j17 = jnp.arange(17)[None, None, :]
+    pad = jnp.zeros((B, 5, 17), jnp.int32)
 
-    def codes17(off0):
-        vn = gather_ps(off0[:, None, None] + em5 * nipd_nib[:, None, None]
-                       + (j34 >> 1))
-        vals = (vn >> (4 * (j34 & 1))) & 15
-        valid = (em5 < penv[:, None, None]) & (j34 < nipd[:, None, None]) \
-            & (ipdopd_on > 0)[:, None, None]
-        return jnp.where(valid, vals, 0)[:, :, :17]
-    ipd = codes17(ipd_off)
-    opd = codes17(opd_off)
-    pc_b = jnp.concatenate([
+    def part_remap(rows):
+        full = jnp.concatenate([rows, pad], axis=2)      # [B,5,34]
+        out = remap_dev(full, pkind, tabs_p)[:, :, :17]
+        return jnp.where(j17 < nipd[:, None, None], out, 0)
+    ipd = part_remap(ipd_n)
+    opd = part_remap(opd_n)
+    pc_b_new = jnp.concatenate([
         iid.reshape(B, 170), icc.reshape(B, 170),
         ipd.reshape(B, 85), opd.reshape(B, 85)], axis=1).astype(jnp.int8)
+    pc_b = jnp.where((live > 0)[:, None], pc_b_new, carry["ps_pcb"])
+    pc_b = jnp.where((ps_on > 0)[:, None], pc_b, 0)
     pc = dict(pc_i=pc_i, pc_b=pc_b)
     if m34 is not None:
         pc["m34"] = m34
 
+    upd = live > 0
+    ps_carry_new = {
+        k: jnp.where(upd.reshape((B,) + (1,) * (v.ndim - 1)), v,
+                     carry["ps"][k])
+        for k, v in psc2.items()}
     new_carry = dict(
         hdr=hdr, s_idx=s_idx_next, bw=bw_now,
         tend=jnp.where(start > 0, jnp.take_along_axis(
             tenv, ne.clip(0, 5)[:, None], axis=1)[:, 0], carry["tend"]),
         ws_prev=jnp.where(err > 0, 0, ws),
-        kbd_prev=jnp.where(err > 0, 0, kbd))
+        kbd_prev=jnp.where(err > 0, 0, kbd),
+        ps=ps_carry_new,
+        ps_pcb=jnp.where(upd[:, None], pc_b_new, carry["ps_pcb"]))
     return core_meta, plan, pc, new_carry
