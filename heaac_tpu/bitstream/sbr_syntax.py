@@ -151,6 +151,14 @@ class SBRContext:
         self.patch_num_subbands = np.zeros(6, np.int32)
         self.patch_start_subband = np.zeros(6, np.int32)
         self.ps = None               # PSContext, attached by ps module
+        # wire-v5 raw-rows capture (SCE elements: the dtdf..noise region
+        # ships as raw bits and decodes on device, ops/sbr_huff; set by
+        # _read_sbr_single_channel_element, consumed + cleared by
+        # codec/qwire.build_side)
+        self.wire_rows_fresh = 0
+        self.wire_rows_bitoff = 0
+        self.wire_rows_rbits = 0
+        self.wire_rows_region = b""
 
 
 # ---------------------------------------------------------------------------
@@ -626,10 +634,29 @@ def _read_sbr_single_channel_element(dec, sbr: SBRContext, br: BitReader) -> Non
     if br.get1():
         br.skip(4)
     read_sbr_grid(sbr, br, sbr.data[0])
+    rows_start = br.pos
     read_sbr_dtdf(sbr, br, sbr.data[0])
     read_sbr_invf(sbr, br, sbr.data[0])
     read_sbr_envelope(sbr, br, sbr.data[0], 0)
     read_sbr_noise(sbr, br, sbr.data[0], 0)
+    # wire-v5 raw-rows capture (codec/qwire SBR side block): the
+    # dtdf..noise region ships as raw bits for device decode
+    # (ops/sbr_huff); 640 B bounds the legal single-channel worst case
+    # (dtdf 7 + invf 10 + 5 env rows x 947 + 2 noise rows x 85 + phase
+    # = 4929 bits = 617 B)
+    b0 = rows_start >> 3
+    rbits = br.pos - 8 * b0
+    nby = (rbits + 7) // 8
+    if nby <= 640:
+        shift = br.nbits - 8 * b0 - 8 * nby
+        v = br._val >> shift if shift >= 0 else br._val << -shift
+        sbr.wire_rows_region = (v & ((1 << (8 * nby)) - 1)).to_bytes(
+            nby, "big")
+        sbr.wire_rows_bitoff = rows_start & 7
+        sbr.wire_rows_rbits = rbits
+        sbr.wire_rows_fresh = 1
+    else:
+        sbr.wire_rows_fresh = 0
     sbr.data[0].bs_add_harmonic_flag = br.get1()
     if sbr.data[0].bs_add_harmonic_flag:
         for i in range(sbr.n[1]):

@@ -477,10 +477,14 @@ class QwirePlanningDecoder(Decoder):
                 i = j
         if len(secs) > SH.SEC_MAX:
             return None
-        # raw bits: the sf-huffman region then the spectral region (the
-        # pulse/TNS/SSR flags between them are NOT shipped)
-        bits = SH.concat_bit_ranges(self._cur_packet,
-                                    [sfpos, (bp[0], bp[-1])])
+        # raw bits: one byte-aligned slice spanning the sf-huffman region
+        # through the spectral region — contiguous up to the 3 always-
+        # zero pulse/tns/gain gate bits, which ship in place (the device
+        # skips them; ops/spec_huff.decode_spec_jax)
+        if bp[0] != sfpos[1] + 3:
+            return None              # non-standard gate span: token mode
+        bits = self._cur_packet[sfpos[0] >> 3:(bp[-1] + 7) >> 3]
+        phase = sfpos[0] & 7
         grouping = None
         if is8:
             # bit (7-w) set iff window w shares window w-1's group
@@ -492,7 +496,8 @@ class QwirePlanningDecoder(Decoder):
                         grouping |= 1 << (7 - w)
                     w += 1
         return SH.pack_spec_block(secs, sfidx0 or 0, bits, nbits,
-                                  ms_mask=ms_mask, grouping=grouping)
+                                  ms_mask=ms_mask, grouping=grouping,
+                                  phase=phase)
 
     def _try_spec_cpe(self, el):
         """Spec blocks for a CPE's two channels, each entry None when

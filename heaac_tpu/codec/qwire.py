@@ -126,8 +126,9 @@ SIDE_HEAD = 13
 #   [bw[5] f32 LE]       if bw_present
 #   env codes ++ noise codes ++ addharm(6) ++ PS block   (as before)
 # device gather window (wire cost is the actual block size; the worst case
-# is an SCE with 4-envelope 34-band PS incl. IPD/OPD at ~706 bytes)
-SIDE_MAX = 768
+# is an SCE raw-rows block at 640 B (ops/sbr_huff.RW) plus head/bw/
+# addharm and a 4-envelope 34-band PS block incl. IPD/OPD at ~293 B)
+SIDE_MAX = 1024
 
 # PS sub-block v4 / wire v5 (byte offsets within the PS section): the
 # entropy-coded half of ps_data (iid/icc rows + the extension container
@@ -334,19 +335,39 @@ def build_side(sbr, ch: int, id_aac: int, err: int = 0,
         d.wire_bw_prev = bw_now
 
     b = b + opt
-    # env codes: main channel (ch0) first, pan channel second when coupled
-    # (sbr_dequant consumes E1/E2 jointly for both output channels)
-    chs = [0, 1] if coupled else [ch]
-    for c in chs:
-        dd = sbr.data[c]
-        for e in range(1, ne + 1):
-            n = int(sbr.n[d.bs_freq_res[e]])
-            b.extend(int(dd.env_facs[e][k]) & 0xFF for k in range(n))
-    for c in chs:
-        dd = sbr.data[c]
-        for e in range(1, int(d.bs_num_noise) + 1):
-            b.extend(int(dd.noise_facs[e][k]) & 0xFF
-                     for k in range(int(sbr.n_q)))
+    rows_fresh = int(getattr(sbr, "wire_rows_fresh", 0))
+    if id_aac != TYPE_CPE and ch == 0 and rows_fresh:
+        sbr.wire_rows_mode = 1       # latched: see he_host.inc Sbr
+    if id_aac != TYPE_CPE and ch == 0 \
+            and int(getattr(sbr, "wire_rows_mode", 0)):
+        # wire v5 raw-rows block: u16 LE rbits(13)|phase(3), then the
+        # byte-aligned dtdf..noise region (device decode, ops/sbr_huff).
+        # b[1] bit 6 is the flip-graph is34 flag; raw-rows rides bit 7.
+        # Dataless frames ship rbits=0: the device replays its carried
+        # decoded rows (delta regions are not idempotent).
+        b[1] |= 1 << 7
+        if rows_fresh:
+            rb = int(sbr.wire_rows_rbits)
+            ph = int(sbr.wire_rows_bitoff)
+            b.extend((rb | (ph << 13)).to_bytes(2, "little"))
+            b.extend(sbr.wire_rows_region[:(rb + 7) // 8])
+            sbr.wire_rows_fresh = 0
+        else:
+            b.extend(b"\x00\x00")
+    else:
+        # env codes: main channel (ch0) first, pan channel second when
+        # coupled (sbr_dequant consumes E1/E2 jointly for both outputs)
+        chs = [0, 1] if coupled else [ch]
+        for c in chs:
+            dd = sbr.data[c]
+            for e in range(1, ne + 1):
+                n = int(sbr.n[d.bs_freq_res[e]])
+                b.extend(int(dd.env_facs[e][k]) & 0xFF for k in range(n))
+        for c in chs:
+            dd = sbr.data[c]
+            for e in range(1, int(d.bs_num_noise) + 1):
+                b.extend(int(dd.noise_facs[e][k]) & 0xFF
+                         for k in range(int(sbr.n_q)))
     if d.bs_add_harmonic_flag:
         bits = 0
         for i in range(int(sbr.n[1])):
@@ -635,7 +656,17 @@ def init_qcarry(B: int):
         # decoded pc_b rows (replayed on frames without fresh ps_data)
         ps=ps_huff.init_ps_carry(B),
         ps_pcb=jnp.zeros((B, 510), jnp.int8),
+        # wire-v5 SBR raw-rows decode: env/noise delta-chain seeds plus
+        # the last decoded rows (replayed on dataless frames)
+        sbrrows=_sbr_rows_carry(B),
+        sbr_ec=jnp.zeros((B, 5, M), jnp.int32),
+        sbr_qc=jnp.zeros((B, 2, NB_Q), jnp.int32),
     )
+
+
+def _sbr_rows_carry(B: int):
+    from ..ops import sbr_huff
+    return sbr_huff.init_rows_carry(B)
 
 
 def expand_frame_jax(heap, rec, carry, is34: int = 0):
@@ -789,6 +820,39 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
         side, (qpan_off[:, :, None] + j5).clip(0, SIDE_MAX - 1)
         .reshape(B, -1), axis=1).reshape(B, 2, NB_Q)
     after_noise = after_env + ntotal * (1 + coupled)
+
+    # ---- wire-v5 raw-rows block (SCE lanes, ops/sbr_huff) ------------------
+    # flag bit 7: the env/noise code bytes are replaced by a u16 LE
+    # rbits(13)|phase(3) field + the raw dtdf..noise region; rbits==0
+    # replays the carried decoded rows (dataless frames).
+    from ..ops import sbr_huff
+    rows_on = ((flags >> 7) & 1) * start
+    rr_off = soff[:, 0]
+    lp16 = g1(rr_off) | (g1(rr_off + 1) << 8)
+    rr_rbits = (lp16 & 0x1FFF) * rows_on
+    rr_phase = ((lp16 >> 13) & 7) * rows_on
+    rr_bytes = (rr_rbits + 7) >> 3
+    rows_live = (rows_on > 0) & (rr_rbits > 0)
+    region = jnp.take_along_axis(
+        side, ((rr_off + 2)[:, None]
+               + jnp.arange(sbr_huff.RW)[None, :]).clip(0, SIDE_MAX - 1),
+        axis=1)
+    ec_r, _, qc_r, _, _rows_ok, sbrrows_new = sbr_huff.decode_sbr_rows_jax(
+        region, rr_phase, rr_rbits, ne=ne, nnoise=nnoise, frbits=frbits,
+        n0=n0, n1=n1, nq=nq, coupled=jnp.zeros_like(ne), ampres=ampres,
+        active=rows_live, carry=carry["sbrrows"], pair=False)
+    # the host walk validated the region, so _rows_ok only trips on
+    # wire corruption; the dequant clip bounds the fallout either way
+    ec_w = ec_r & 0xFF
+    qc_w = qc_r & 0xFF
+    er_last = jnp.where(rows_live[:, None, None], ec_w,
+                        carry["sbr_ec"])
+    qr_last = jnp.where(rows_live[:, None, None], qc_w,
+                        carry["sbr_qc"])
+    ecodes = jnp.where((rows_on > 0)[:, None, None], er_last, ecodes)
+    qcodes = jnp.where((rows_on > 0)[:, None, None], qr_last, qcodes)
+    after_noise = jnp.where(rows_on > 0, rr_off + 2 + rr_bytes,
+                            after_noise)
     ah_off = after_noise
     ahb = lambda j: jnp.take_along_axis(
         side, (ah_off + j)[:, None].clip(0, SIDE_MAX - 1), axis=1)
@@ -1097,6 +1161,36 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
         k: jnp.where(upd.reshape((B,) + (1,) * (v.ndim - 1)), v,
                      carry["ps"][k])
         for k, v in psc2.items()}
+    # byte-mode lanes keep the raw-rows chain seeds consistent so a
+    # (hypothetical) mid-stream mode switch still chains correctly; the
+    # wrapped byte values equal the unwrapped chain for legal streams
+    laste = (ne - 1).clip(0, 4)
+    lastq = (nnoise - 1).clip(0, 1)
+
+    def _rowat(rows, idx, w):
+        return jnp.take_along_axis(
+            rows, idx[:, None, None] * jnp.ones((1, 1, w), jnp.int32),
+            axis=1)[:, 0]
+    byte_act = (start > 0) & (rows_on == 0)
+    el = sbrrows_new["env_last"]
+    nl = sbrrows_new["noise_last"]
+    fl = sbrrows_new["fr_last"]
+    fr_new = (frbits >> laste) & 1
+    sbrrows_carry = dict(
+        env_last=jnp.stack(
+            [jnp.where(byte_act[:, None], _rowat(ecodes, laste, M),
+                       el[:, 0]),
+             jnp.where((byte_act & (coupled > 0))[:, None],
+                       _rowat(pcodes, laste, M), el[:, 1])], axis=1),
+        noise_last=jnp.stack(
+            [jnp.where(byte_act[:, None], _rowat(qcodes, lastq, NB_Q),
+                       nl[:, 0]),
+             jnp.where((byte_act & (coupled > 0))[:, None],
+                       _rowat(qpcodes, lastq, NB_Q), nl[:, 1])], axis=1),
+        fr_last=jnp.stack(
+            [jnp.where(byte_act, fr_new, fl[:, 0]),
+             jnp.where(byte_act & (coupled > 0), fr_new, fl[:, 1])],
+            axis=1))
     new_carry = dict(
         hdr=hdr, s_idx=s_idx_next, bw=bw_now,
         tend=jnp.where(start > 0, jnp.take_along_axis(
@@ -1104,5 +1198,8 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
         ws_prev=jnp.where(err > 0, 0, ws),
         kbd_prev=jnp.where(err > 0, 0, kbd),
         ps=ps_carry_new,
-        ps_pcb=jnp.where(upd[:, None], pc_b_new, carry["ps_pcb"]))
+        ps_pcb=jnp.where(upd[:, None], pc_b_new, carry["ps_pcb"]),
+        sbrrows=sbrrows_carry,
+        sbr_ec=er_last,
+        sbr_qc=qr_last)
     return core_meta, plan, pc, new_carry

@@ -503,13 +503,22 @@ class SbrStreamWriter:
             self._gen_env_noise_for_ch(ch, amp_res, num_env, num_noise, first)
 
 
-def splice_sbr_into_lc(lc_adts: bytes, writer: SbrStreamWriter) -> bytes:
-    """Append an SBR fill element to every frame of an LC ADTS stream."""
+def splice_sbr_into_lc(lc_adts: bytes, writer: SbrStreamWriter,
+                       skip_frames=()) -> bytes:
+    """Append an SBR fill element to every frame of an LC ADTS stream.
+
+    Frames in ``skip_frames`` keep no SBR FIL (dataless frames: the
+    decoder replays the previous envelopes, aacsbr.c start persistence);
+    the writer's mirrored delta state skips those frames too, so the
+    next data frame's time deltas reference the last WRITTEN frame."""
     frames = split_adts_stream(lc_adts)
     hdr0 = parse_adts_header(BitReader(frames[0]))
     dec = Decoder(adts_probe=frames[0][:7])
     out = bytearray()
-    for f in frames:
+    for fidx, f in enumerate(frames):
+        if fidx in skip_frames and fidx > 0:
+            out.extend(f)
+            continue
         # find the END element position via the (validated) parser
         dec_br = BitReader(f)
         h = parse_adts_header(dec_br)

@@ -16,6 +16,30 @@
 
 #include "tables.inc"
 
+// Optional cycle-level stage profiler (the analogue of the reference's
+// START_TIMER/STOP_TIMER rdtsc macros, libavutil/timer.h).  Zero-cost
+// unless the TU is built with -DHH_PROF (tools/profile_parse.cc does;
+// the production .so never defines it).
+#ifdef HH_PROF
+#include <x86intrin.h>
+namespace hhprof {
+inline uint64_t cyc[32], cnt[32];
+inline const char* names[32];
+struct Scope {
+  int i;
+  uint64_t s;
+  Scope(int i, const char* n) : i(i), s(__rdtsc()) { names[i] = n; }
+  ~Scope() {
+    cyc[i] += __rdtsc() - s;
+    cnt[i]++;
+  }
+};
+}  // namespace hhprof
+#define HH_PROF_SCOPE(i, name) hhprof::Scope hh_prof_scope_##i(i, name)
+#else
+#define HH_PROF_SCOPE(i, name)
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------- bits ----
@@ -632,6 +656,7 @@ static void apply_main_prediction(float* coef, float* st,
     }
 }
 
+#ifdef HH_WALK_V1
 static int walk_spectrum(Bits* b, const Chan* ch, int64_t* bandpos) {
   const IcsInfo* ics = &ch->ics;
   const int* offsets = ics->swb_offset;
@@ -650,7 +675,16 @@ static int walk_spectrum(Bits* b, const Chan* ch, int64_t* bandpos) {
     int ncodes =
         ics->group_len[g] * (offsets[i + 1] - offsets[i]) / cb_dim[bt];
     int c = 0;
+#ifdef HH_PROF
+    hhprof::cnt[20] += ncodes;  // codes walked
+    hhprof::names[20] = "walk codes";
+    hhprof::cyc[20]++;          // bands
+#endif
     while (c < ncodes) {
+#ifdef HH_PROF
+      hhprof::cnt[21]++;        // window refills
+      hhprof::names[21] = "walk windows";
+#endif
       uint64_t w = wnd64(buf, nbits, pos);
       int used = 0;
       while (c < ncodes && used <= 44) {
@@ -690,6 +724,84 @@ static int walk_spectrum(Bits* b, const Chan* ch, int64_t* bandpos) {
   b->pos = pos;
   return 0;
 }
+#else
+// v2 walk: one rolling 64-bit window shared ACROSS bands (the v1 loop
+// refilled per band and per 44 consumed bits with a mispredicted exit
+// branch each time; measured ~51 refills + 40 band setups per frame on
+// the bench corpus).  The window advances by `used` only at refill/
+// slow-path/return boundaries; band starts record base + used.
+static int walk_spectrum(Bits* b, const Chan* ch, int64_t* bandpos) {
+  const IcsInfo* ics = &ch->ics;
+  const int* offsets = ics->swb_offset;
+  const uint8_t* buf = b->buf;
+  const int64_t nbits = b->nbits;
+  int64_t pos = b->pos;      // window base
+  uint64_t w = wnd64(buf, nbits, pos);
+  int used = 0;              // bits consumed past the base
+  int idx = 0;
+  for (int g = 0; g < ics->num_window_groups; g++)
+  for (int i = 0; i < ics->max_sfb; i++, idx++) {
+    bandpos[idx] = pos + used;
+    int bt = ch->band_type[idx];
+    if (bt == 0) continue;
+    const uint8_t* walk = cb_walk[bt];
+    // a group's windows share the band's section contiguously (the
+    // decode loop iterates windows inside the band, aacdec.c:1032)
+    int ncodes =
+        ics->group_len[g] * (offsets[i + 1] - offsets[i]) / cb_dim[bt];
+    int c = 0;
+#ifdef HH_PROF
+    hhprof::cnt[20] += ncodes;  // codes walked
+    hhprof::names[20] = "walk codes";
+    hhprof::cyc[20]++;          // bands
+#endif
+    while (c < ncodes) {
+      uint8_t e = walk[(uint32_t)((w << used) >> 53)];
+      if (__builtin_expect((uint8_t)(e - 1) < 63 && used <= 44, 1)) {
+        used += e;
+        c++;
+        continue;
+      }
+      if (used > 44) {  // refill
+#ifdef HH_PROF
+        hhprof::cnt[21]++;      // window refills
+        hhprof::names[21] = "walk windows";
+#endif
+        pos += used;
+        used = 0;
+        if (pos > nbits) return -1;
+        w = wnd64(buf, nbits, pos);
+        continue;
+      }
+      // slow path: long code or cb11 escape sequence
+      int64_t p2 = pos + used;
+      int code = vlc_get_at(buf, nbits, &p2, vlc_spec[bt]);
+      if (code < 0) return -1;
+      if (!cb_signed[bt]) p2 += cb_nz[bt][code];
+      if (bt == 11) {
+        const int8_t* tv = cb_vals[11] + code * 2;
+        for (int d = 0; d < 2; d++) {
+          if (tv[d] == 16) {
+            uint64_t u = wnd64(buf, nbits, p2);
+            int n1 = u == ~0ull ? 64 : __builtin_clzll(~u);
+            if (n1 > 8) return -1;
+            p2 += 2 * n1 + 5;
+          }
+        }
+      }
+      if (p2 > nbits) return -1;
+      pos = p2;
+      used = 0;
+      w = wnd64(buf, nbits, pos);
+      c++;
+    }
+  }
+  bandpos[idx] = pos + used;
+  b->pos = pos + used;
+  if (b->pos > nbits) return -1;
+  return 0;
+}
+#endif  // HH_WALK_V1
 
 // --------------------------------------------------------------- parse ----
 static int parse_ics_info(Bits* b, IcsInfo* ics, int sampling_index) {
@@ -1438,14 +1550,21 @@ static void apply_tns(float* coef, Chan* ch) {
 
 static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
                      float* coef, uint32_t* rng) {
+  HH_PROF_SCOPE(1, "parse_ics total");
   int global_gain = getbits(b, 8);
   if (!common_window) {
     int r = parse_ics_info(b, &ch->ics, sampling_index);
     if (r) return r;
   }
-  if (parse_band_types(b, ch)) return -1;
+  {
+    HH_PROF_SCOPE(2, "band_types");
+    if (parse_band_types(b, ch)) return -1;
+  }
   int64_t sf_start = b->pos;   // sf-region bit span (raw-bits wire mode)
-  if (parse_scalefactors(b, ch, global_gain)) return -1;
+  {
+    HH_PROF_SCOPE(3, "scalefactors");
+    if (parse_scalefactors(b, ch, global_gain)) return -1;
+  }
   int64_t sf_end = b->pos;
   int pulse_pos[4], pulse_amp[4], pulse_count = 0;
   if (getbit(b)) {
@@ -1485,6 +1604,7 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
     // classify axis (ops/spec_huff.SFB = 768, margin for window reads)
     if (sf_end - sf_start > 768 - 24) bad = 1;
     if (!bad && nsec <= 31) {
+      HH_PROF_SCOPE(4, "walk_spectrum+cap");
       int64_t bp0 = b->pos;
       if (walk_spectrum(b, ch, sc->bandpos) == 0
           && sc->bandpos[nbands] - sc->bandpos[0] < (1 << 13)) {
@@ -1531,9 +1651,12 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
     g_qwd->pos = 0;
     g_qwd->cur_sf = -1;
   }
-  if (parse_spectrum(b, ch, coef, rng)) {
-    g_qwd = nullptr;
-    return -1;
+  {
+    HH_PROF_SCOPE(5, "parse_spectrum(full)");
+    if (parse_spectrum(b, ch, coef, rng)) {
+      g_qwd = nullptr;
+      return -1;
+    }
   }
   if (pulse_count) apply_pulses(coef, ch, pulse_pos, pulse_amp, pulse_count);
   return 0;

@@ -201,21 +201,24 @@ W3_SHORT = 1 << 30     # EIGHT_SHORT lane: grouping byte leads the block
 
 
 def pack_spec_block(sections, sfidx0: int, raw_bits: bytes, nbits: int,
-                    ms_mask=None, grouping=None):
+                    ms_mask=None, grouping=None, phase: int = 0):
     """sections: list of (cb, nsfb, bitlen); sfidx0: the FIRST coded
     band's absolute pow2sf index (rides the record word — the raw sf
     region's first code is a delta vs global_gain, which sfidx0 already
-    embodies).  ``raw_bits`` is the lane's sf-huffman region immediately
-    followed by its spectral region (two bitstream slices concatenated
-    MSB-first; the device splits them by lifting the sf chain), and
-    ``nbits`` counts the SPECTRAL bits only.  ``ms_mask``, if given, is
-    the per-sfb M/S mask (length == total sfb count) packed MSB-first
-    after the section map — the device butterflies the pair
-    (aacdec.c:1390-1411) since raw-bits lanes ship PRE-M/S spectra.
-    ``grouping``, if given, marks an EIGHT_SHORT lane: the 7-bit
-    scale_factor_grouping field leads the block and sections run
-    (group, sfb)-major.  Returns (block bytes, w3) where
-    w3 = nbits | nsec<<13 | sfidx0<<18 [| flags]."""
+    embodies).  ``raw_bits`` is ONE byte-aligned slice of the source
+    bitstream spanning the lane's sf-huffman region through its spectral
+    region — the two are contiguous up to the 3 always-zero pulse/tns/
+    gain gate bits this capture path requires.  The sf chain starts at
+    bit ``phase`` (0-7) of raw_bits[0] and the spectrum 3 bits after the
+    sf chain ends (the device lifts the sf chain to find the boundary);
+    a phase byte leads the raw region on the wire.  ``nbits`` counts the
+    SPECTRAL bits only.  ``ms_mask``, if given, is the per-sfb M/S mask
+    (length == total sfb count) packed MSB-first after the section map —
+    the device butterflies the pair (aacdec.c:1390-1411) since raw-bits
+    lanes ship PRE-M/S spectra.  ``grouping``, if given, marks an
+    EIGHT_SHORT lane: the 7-bit scale_factor_grouping field leads the
+    block and sections run (group, sfb)-major.  Returns (block bytes,
+    w3) where w3 = nbits | nsec<<13 | sfidx0<<18 [| flags]."""
     b = bytearray()
     if grouping is not None:
         b.append(grouping & 0x7F)
@@ -234,6 +237,8 @@ def pack_spec_block(sections, sfidx0: int, raw_bits: bytes, nbits: int,
                 mb[f >> 3] |= 1 << (7 - (f & 7))
         b += mb
         ms_flag = W3_MS_MASK
+    assert 0 <= phase < 8
+    b.append(phase)
     b += raw_bits
     assert nbits < (1 << 13) and len(sections) <= SEC_MAX
     assert 0 <= sfidx0 < 512
@@ -370,17 +375,24 @@ def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int,
     sizes_f = coded_f * jnp.where(shortB, glen_f, 1) * bw_f
     cumsz_f = jnp.cumsum(sizes_f, axis=1)
     starts_f = cumsz_f - sizes_f                  # coded-bin start per band
-    # raw-bits region: the lane's sf-huffman codes (the BITSTREAM's own
-    # scalefactor deltas, 1-19 bits each) immediately followed by its
-    # spectral codes — two bitstream slices the emitters concatenate
-    bits_base = smap + 3 * nsec + mask_bytes
+    # raw-bits region: a phase byte, then ONE byte-aligned slice of the
+    # source bitstream spanning the sf-huffman region through the
+    # spectral region (the emitters memcpy it verbatim).  The sf chain
+    # starts at bit ``phase`` of the first raw byte; the spectrum starts
+    # 3 bits after the sf chain ends (the always-zero pulse/tns/gain
+    # gate bits, shipped in place).
+    phase_base = smap + 3 * nsec + mask_bytes
+    phase = g(phase_base) & 7
+    bits_base = phase_base + 1
 
     def bits_at0(q, m):
-        """m bits at bit position q within the raw-bits region (3-byte
-        window: (q & 7) + m <= 24, so m <= 17)."""
-        ab = bits_base.reshape((-1,) + (1,) * (q.ndim - 1)) + (q >> 3)
+        """m bits at sf-relative bit position q (3-byte window:
+        (q & 7) + m <= 24 pre-phase, so m <= 17)."""
+        sh = (-1,) + (1,) * (q.ndim - 1)
+        qq = q + phase.reshape(sh)
+        ab = bits_base.reshape(sh) + (qq >> 3)
         w = (g(ab) << 16) | (g(ab + 1) << 8) | g(ab + 2)
-        return (w >> (24 - (q & 7) - m)) & ((1 << m) - 1)
+        return (w >> (24 - (qq & 7) - m)) & ((1 << m) - 1)
 
     # ---- scalefactor huffman decode (region prefix) --------------------------
     # same speculate+lift scheme as the spectral decode: classify every
@@ -416,8 +428,10 @@ def decode_spec_jax(heap, off, w3, sampling_index: int, NBITS: int,
 
     def bits_at(q, m):
         """Spectral-region read: position q is relative to the end of
-        the sf prefix (sfe, a per-lane dynamic offset)."""
-        return bits_at0(q + sfe.reshape((-1,) + (1,) * (q.ndim - 1)), m)
+        the sf prefix (sfe, a per-lane dynamic offset) plus the 3
+        always-zero pulse/tns/gain gate bits shipped between the
+        regions."""
+        return bits_at0(q + 3 + sfe.reshape((-1,) + (1,) * (q.ndim - 1)), m)
 
     def ones_at(q):
         """Leading-1s count (escape prefix N <= 8) at bit position q."""

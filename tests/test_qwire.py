@@ -295,3 +295,29 @@ def test_qwire_length_bucketing(ref_harness):
         T_i = dec.frame_counts[i]
         got = outs[g][:T_i, slot:slot + 1]
         np.testing.assert_array_equal(got, refs[i][:T_i])
+
+
+@pytest.mark.golden
+def test_qwire_dataless_sbr_frames_replay(ref_harness):
+    """Frames without an SBR FIL replay the previous envelopes (aacsbr.c
+    start persistence).  The wire-v5 raw-rows block is NOT idempotent
+    (delta regions), so dataless frames ship rbits=0 and the device
+    replays its carried decoded rows — this pins that path against the
+    single-stream reference decoder."""
+    from test_golden_sbr import make_core
+
+    import heaac_tpu
+    from heaac_tpu.codec.batch import QStreamBatchDecoder
+    from heaac_tpu.io.heaac_testgen import (PsStreamWriter, SbrStreamWriter,
+                                            splice_sbr_into_lc)
+
+    core = make_core(ref_harness, "sbr_core_m24", 24000, 1, 32000, 12)
+    w = SbrStreamWriter(core_rate=24000, is_cpe=False, env_hi_shift=-12,
+                        seed=11, invf_modes=(0,),
+                        ps_writer=PsStreamWriter(seed=12))
+    he = splice_sbr_into_lc(core, w, skip_frames={3, 4, 9})
+    pcm_ref, _ = heaac_tpu.decode_adts(he)
+    got = np.asarray(QStreamBatchDecoder([he]).decode())[0]
+    n = min(len(pcm_ref), got.shape[0])
+    d = np.abs(got[:n].astype(int) - np.asarray(pcm_ref)[:n].astype(int))
+    assert d.max() <= 1, f"dataless replay max LSB {d.max()}"

@@ -79,15 +79,23 @@ def make_lane(rng, sampling_index):
         bw_all.append((len(bw.bits), bw.tobytes(), cb, nsfb))
         sections.append((cb, nsfb, len(bw.bits)))
 
-    # raw bits: sf region then the section bit strings, bit-concatenated
+    # raw bits: ``phase`` lead-in bits, the sf region, the 3 pulse/tns/
+    # gain gate bits, then the section bit strings (the wire ships the
+    # byte-aligned source slice verbatim; lead-in and gate bits are
+    # random to prove the device skips without reading them)
+    # derived (not rng-drawn: lane content must not depend on them)
+    phase = (sfidx0 + len(sf_bw.bits)) % 8
     allbits = SH.BitWriter()
+    for k in range(phase):
+        allbits.put((sfidx0 >> k) & 1, 1)
     allbits.bits.extend(sf_bw.bits)
+    allbits.put(sfidx0 & 7, 3)                      # gate bits (skipped)
     for nb, by, cb, _ in bw_all:
         for i in range(nb):
             allbits.put((by[i >> 3] >> (7 - (i & 7))) & 1, 1)
-    nbits = len(allbits.bits) - len(sf_bw.bits)     # SPECTRAL bits
+    nbits = len(allbits.bits) - len(sf_bw.bits) - phase - 3
     block, w3 = SH.pack_spec_block(sections, sfidx0, allbits.tobytes(),
-                                   nbits)
+                                   nbits, phase=phase)
     return block, w3, expected
 
 
