@@ -528,9 +528,12 @@ struct SpecCap {
   int is8 = 0;       // EIGHT_SHORT lane (W3_SHORT; grouping byte leads)
   uint8_t grouping = 0;   // 7-bit scale_factor_grouping field
   uint8_t band_cb[120];
-  uint16_t sfw[120];
   int64_t bandpos[121];
   int64_t sf_start = 0, sf_end = 0;  // sf-huffman region bit span
+  uint16_t sfidx0v = 0;   // first coded band's absolute pow2sf index
+  int sf_walked = 0;      // sf region length-walked, ch->sf/sfwb NOT
+                          // filled; demotes re-parse with gg
+  int gg = 0;             // global_gain (for the demote re-parse)
   const uint8_t* buf = nullptr;
   int64_t nbits = 0;
   // device-M/S CPE pairs (raw bits predate the host butterfly):
@@ -933,6 +936,45 @@ static int parse_scalefactors(Bits* b, Chan* ch, int global_gain) {
     }
   }
   b->pos = c.pos;
+  return 0;
+}
+
+// Length-walk of the scalefactor region for spec-capture-eligible lanes
+// (regular/ZERO bands only -- eligibility pre-checked from the band
+// types): the device decodes the sf delta chain from the raw bits
+// (ops/spec_huff.py), so no per-band sf/sfwb stores or pow2sf lookups
+// are needed; only the delta chain itself (kept for the exact 0-255
+// range validation of parse_scalefactors) and the FIRST coded band's
+// absolute index (the wire's sfidx0).  On a later demote the caller
+// re-parses the region with full values (intra-frame, no stale state).
+static int walk_scalefactors(Bits* b, Chan* ch, int global_gain,
+                             int* sfidx0) {
+  IcsInfo* ics = &ch->ics;
+  int sf_off = 60 + (ics->window_sequence == 2 ? 12 : 0);
+  int offset0 = global_gain;
+  int first = -1;
+  int idx = 0;
+  VCur c{b->buf, b->nbits, b->pos};
+  c.refill();
+  for (int g = 0; g < ics->num_window_groups; g++) {
+    for (int i = 0; i < ics->max_sfb;) {
+      int run_end = ch->band_run_end[idx];
+      if (ch->band_type[idx] == 0) {
+        idx += run_end - i;
+        i = run_end;
+        continue;
+      }
+      for (; i < run_end; i++, idx++) {
+        int d = c.sym(vlc_sf);
+        if (d < 0) { b->pos = c.pos; return -1; }
+        offset0 += d - 60;
+        if ((unsigned)offset0 > 255u) { b->pos = c.pos; return -1; }
+        if (first < 0) first = offset0 + sf_off;
+      }
+    }
+  }
+  b->pos = c.pos;
+  *sfidx0 = first < 0 ? 0 : first;
   return 0;
 }
 
@@ -1560,14 +1602,48 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
     HH_PROF_SCOPE(2, "band_types");
     if (parse_band_types(b, ch)) return -1;
   }
+  // spec-capture pre-check from the band types alone: capture-eligible
+  // lanes skip the sf VALUE decode entirely (the device decodes the
+  // chain from the raw bits; walk_scalefactors keeps the exact range
+  // validation and yields sfidx0).  A later demote (pulses/TNS/walk
+  // failure/size) re-parses the region with values — intra-frame, so
+  // nothing goes stale.
+  SpecCap* sc = g_spec_active;
+  int is8 = ch->ics.num_windows == 8;
+  int nbands = ch->ics.num_window_groups * ch->ics.max_sfb;
+  int pre_ok = 0, nsec = 0;
+  if (sc && (ch->ics.num_windows == 1 || is8)
+      && (is8 || ch->ics.num_window_groups == 1)
+      && ch->ics.max_sfb > 0 && nbands <= 120 && g_object_type != 1) {
+    int badp = 0;
+    for (int g = 0, idx = 0; g < ch->ics.num_window_groups && !badp; g++)
+      for (int i = 0; i < ch->ics.max_sfb; i++, idx++) {
+        int bt = ch->band_type[idx];
+        if (bt >= 12) {  // noise / intensity: device fast path can't
+          badp = 1;
+          break;
+        }
+        // runs never cross a group boundary (section_data is per group)
+        if (i == 0 || bt != ch->band_type[idx - 1]) nsec++;
+      }
+    pre_ok = !badp && nsec <= 31;
+  }
   int64_t sf_start = b->pos;   // sf-region bit span (raw-bits wire mode)
+  int sf_walked = 0, sfidx0w = 0;
   {
     HH_PROF_SCOPE(3, "scalefactors");
-    if (parse_scalefactors(b, ch, global_gain)) return -1;
+    if (pre_ok) {
+      if (walk_scalefactors(b, ch, global_gain, &sfidx0w)) return -1;
+      sf_walked = 1;
+    } else {
+      if (parse_scalefactors(b, ch, global_gain)) return -1;
+    }
   }
   int64_t sf_end = b->pos;
   int pulse_pos[4], pulse_amp[4], pulse_count = 0;
   if (getbit(b)) {
+    // frame-error returns never read the sf values, so a walked region
+    // needs no re-parse on these paths
     if (ch->ics.window_sequence == 2) return -1;
     if (parse_pulses(b, &ch->ics, pulse_pos, pulse_amp, &pulse_count))
       return -1;
@@ -1581,29 +1657,13 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
   // all) when nothing rewrites the spectrum after the VLC loop and the
   // sf walk fits the 6-bit wire deltas; the device Huffman-decodes
   // (ops/spec_huff.py).  Falls through to the full decode otherwise.
-  SpecCap* sc = g_spec_active;
   if (sc) sc->ok = 0;
-  int is8 = ch->ics.num_windows == 8;
-  int nbands = ch->ics.num_window_groups * ch->ics.max_sfb;
-  if (sc && (ch->ics.num_windows == 1 || is8)
-      && (is8 || ch->ics.num_window_groups == 1)
-      && !ch->tns.present && !pulse_count
-      && ch->ics.max_sfb > 0 && nbands <= 120) {
-    int bad = 0, nsec = 0;
-    for (int g = 0, idx = 0; g < ch->ics.num_window_groups && !bad; g++)
-      for (int i = 0; i < ch->ics.max_sfb; i++, idx++) {
-        int bt = ch->band_type[idx];
-        if (bt >= 12) {  // noise / intensity: device fast path can't
-          bad = 1;
-          break;
-        }
-        // runs never cross a group boundary (section_data is per group)
-        if (i == 0 || bt != ch->band_type[idx - 1]) nsec++;
-      }
+  if (pre_ok && !ch->tns.present && !pulse_count) {
+    int bad = 0;
     // the sf region ships as raw bits; it must fit the device's SFB
     // classify axis (ops/spec_huff.SFB = 768, margin for window reads)
     if (sf_end - sf_start > 768 - 24) bad = 1;
-    if (!bad && nsec <= 31) {
+    if (!bad) {
       HH_PROF_SCOPE(4, "walk_spectrum+cap");
       int64_t bp0 = b->pos;
       if (walk_spectrum(b, ch, sc->bandpos) == 0
@@ -1620,10 +1680,20 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
             for (int r = 0; r < ch->ics.group_len[g]; r++, w++)
               if (r >= 1) sc->grouping |= (uint8_t)(1 << (7 - w));
         }
-        for (int i = 0; i < nbands; i++) {
+        for (int i = 0; i < nbands; i++)
           sc->band_cb[i] = (uint8_t)ch->band_type[i];
-          sc->sfw[i] = ch->sfwb[i];
+        if (sf_walked) {
+          sc->sfidx0v = (uint16_t)sfidx0w;
+        } else {
+          sc->sfidx0v = 0;
+          for (int f = 0; f < nbands; f++)
+            if (ch->band_type[f] >= 1) {
+              sc->sfidx0v = ch->sfwb[f];
+              break;
+            }
         }
+        sc->sf_walked = sf_walked;
+        sc->gg = global_gain;
         sc->sf_start = sf_start;
         sc->sf_end = sf_end;
         sc->buf = b->buf;
@@ -1633,6 +1703,14 @@ static int parse_ics(Bits* b, Chan* ch, int sampling_index, int common_window,
       b->pos = bp0;  // spec block too big: full decode + tokens instead
       sc->ok = 0;
     }
+  }
+  if (sf_walked) {
+    // demoted to the full decode: re-parse the sf region with values
+    // (the walk already validated the chain, so this cannot fail)
+    int64_t save = b->pos;
+    b->pos = sf_start;
+    if (parse_scalefactors(b, ch, global_gain)) return -1;
+    b->pos = save;
   }
   // direct token emission only when decode order == output order and no
   // post-pass rewrites coefficients (long window, no TNS, no pulses, no
@@ -1860,16 +1938,22 @@ int ht_parse_cpe(const uint8_t* buf, int64_t nbits, int64_t* pos,
       scc[0]->ms_mask[i] = (uint8_t)(ms_mask[i] != 0);
   } else {
     // host path needs real values for any captured channel feeding the
-    // M/S butterfly; intensity only reads ch0 (capture stays valid)
-    if (cap0 && (ms_eff || intens)) {
-      Bits rb{buf, nbits, scc[0]->bandpos[0]};
-      if (parse_spectrum(&rb, &ch0, coeffs0, rng_state)) return -1;
-      if (ms_eff) scc[0]->ok = 0;
-    }
-    if (cap1 && ms_eff) {
-      Bits rb{buf, nbits, scc[1]->bandpos[0]};
-      if (parse_spectrum(&rb, &ch1, coeffs1, rng_state)) return -1;
-      scc[1]->ok = 0;
+    // M/S butterfly; intensity only reads ch0 (capture stays valid).
+    // sf-walked captures re-parse their sf region first (parse_spectrum
+    // dequants through ch->sf, which the walk never filled).
+    Chan* chp[2] = {&ch0, &ch1};
+    float* cfp[2] = {coeffs0, coeffs1};
+    for (int c = 0; c < 2; c++) {
+      int need = c == 0 ? (cap0 && (ms_eff || intens)) : (cap1 && ms_eff);
+      if (!need) continue;
+      if (scc[c]->sf_walked) {
+        Bits sb{buf, nbits, scc[c]->sf_start};
+        if (parse_scalefactors(&sb, chp[c], scc[c]->gg)) return -1;
+        scc[c]->sf_walked = 0;
+      }
+      Bits rb{buf, nbits, scc[c]->bandpos[0]};
+      if (parse_spectrum(&rb, chp[c], cfp[c], rng_state)) return -1;
+      if (ms_eff) scc[c]->ok = 0;
     }
   }
 
