@@ -111,7 +111,11 @@ def main():
     # tiling the 512-stream pool.
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    group = int(os.environ.get("HEAAC_BENCH_GROUP", "256"))
+    # group sizing (measured 2026-08-21, idle box): per-scan fixed cost is
+    # ~6 ms regardless of lane count up to 512, so B<=512 wants ONE group
+    # (9,920x vs 9,171x at G=256, 7,811x at G=128); larger batches keep
+    # 512-lane groups so host parse overlaps the (throttled) upload
+    group = int(os.environ.get("HEAAC_BENCH_GROUP", "0")) or min(B, 512)
 
     pool = B if os.environ.get("HEAAC_BENCH_ALL_DISTINCT") else min(B, 512)
     distinct = make_distinct_streams(pool)
@@ -132,15 +136,27 @@ def main():
     ngroups = (B + dec.G - 1) // dec.G
     t0 = time.perf_counter()
     dec.frame_counts = []
+    wire_bytes = 0
     for gidx in range(ngroups):
         g = dec.streams[gidx * dec.G:(gidx + 1) * dec.G]
         if len(g) < dec.G:
             g = g + dec.streams[:dec.G - len(g)]
-        dec._parse_group(g, gidx % 2)
+        r = dec._parse_group(g, gidx % 2)
+        if r is not None:
+            wire_bytes += r[1]
     parse_s = time.perf_counter() - t0
-    print(f"# parse-only: {audio_s / parse_s:.0f}x ({parse_s:.3f}s, "
-          f"{parse_s / (sum(dec.frame_counts[:B]) or 1) * 1e6:.1f} "
-          f"us/frame/stream)", file=sys.stderr)
+    nframes = sum(dec.frame_counts[:B]) or 1
+    parse_us = parse_s / nframes * 1e6
+    parse_x = audio_s / parse_s
+    # wire size: heap payload (minus the shared silence template) plus the
+    # 16 B record per frame-lane, per frame-lane
+    from heaac_tpu.codec import qwire as _qw
+    sil = len(dec._sil_payload)
+    wire_bpfl = (wire_bytes - ngroups * sil) / (nframes * dec.nl) \
+        + 4 * _qw.REC_W
+    print(f"# parse-only: {parse_x:.0f}x ({parse_s:.3f}s, "
+          f"{parse_us:.1f} us/frame/stream); wire {wire_bpfl:.0f} "
+          "B/frame-lane", file=sys.stderr)
     heap, recs = dec._buffers(0)
     run = qwire_scan_decoder(dec.is34, dec.ds, dec.S, dec.rate_idx,
                              dec.NB, dec.MS, dec.NS, dec.SEC)
@@ -151,8 +167,21 @@ def main():
     outs = [run(hw, rw, init_qwire_carry(dec.L))[1] for _ in range(ngroups)]
     jax.block_until_ready(outs)
     dev_s = time.perf_counter() - t0
-    print(f"# device-only: {audio_s / dev_s:.0f}x ({dev_s:.4f}s)",
-          file=sys.stderr)
+    dev_x = audio_s / dev_s
+    print(f"# device-only: {dev_x:.0f}x ({dev_s:.4f}s)", file=sys.stderr)
+    # MFU estimate: XLA-reported FLOPs of the compiled scan / f32 peak
+    # (TPU v5e ~49 TFLOP/s f32; the IMDCT/QMF matmuls run HIGHEST
+    # precision).  Best-effort: cost_analysis is not available on every
+    # backend.
+    mfu = None
+    try:
+        ca = run.lower(hw, rw, init_qwire_carry(dec.L)).compile()
+        flops = float(ca.cost_analysis()["flops"])
+        mfu = flops * ngroups / dev_s / 4.9e13
+        print(f"# device flops/scan: {flops:.3e}; MFU(f32 peak): "
+              f"{mfu:.3f}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# MFU estimate unavailable: {e!r}", file=sys.stderr)
 
     # sustained end-to-end: every rep re-parses every lane from its own
     # bytes, re-uploads the wire, and decodes on device, back to back.
@@ -173,11 +202,24 @@ def main():
     med = audio_s / sorted(walls)[len(walls) // 2]
     print(f"# sustained (aggregate over {reps} reps): {sustained:.0f}x; "
           f"best {best:.0f}x; median {med:.0f}x", file=sys.stderr)
+    # component fields ride the one JSON line (VERDICT r4 #2: component
+    # regressions must fail loudly, not live in stderr prose) —
+    # tools/bench_gate.py compares these against the previous round.
     print(json.dumps({
         "metric": "sustained_end_to_end_realtime_factor_heaacv2_48k_per_chip",
         "value": round(sustained, 2),
         "unit": "x_realtime",
         "vs_baseline": round(sustained / 5000.0, 4),
+        "best_x": round(best, 2),
+        "median_x": round(med, 2),
+        "parse_only_x": round(parse_x, 2),
+        "parse_us_per_frame": round(parse_us, 3),
+        "device_only_x": round(dev_x, 2),
+        "wire_bytes_per_frame_lane": round(wire_bpfl, 1),
+        "mfu_f32": round(mfu, 4) if mfu is not None else None,
+        "batch": B,
+        "reps": reps,
+        "group": group,
     }))
 
 

@@ -66,6 +66,28 @@ def pytest_configure(config):
         "markers", "golden: requires the built reference oracle")
 
 
+# `-m smoke` subset (VERDICT r4 #5): one golden per decode path, <5 min
+# warm-cache, so contributors get an honest fast loop instead of the
+# hour-long cold full suite.  Curated per MODULE; membership is by
+# coverage role, not speed alone.
+SMOKE_MODULES = {
+    "test_golden_lc.py",      # LC core vs the reference oracle
+    "test_golden_sbr.py",     # SBR (HE-AACv1) goldens
+    "test_qwire.py",          # wire format + device scan parity
+    "test_spec_huff.py",      # device spectral Huffman path
+    "test_sbr_huff.py",       # device SBR row path (wire v5)
+    "test_ps_huff.py",        # device PS parameter path
+    "test_lane_isolation.py",  # per-lane failure isolation
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+    for item in items:
+        if item.fspath.basename in SMOKE_MODULES:
+            item.add_marker(_pytest.mark.smoke)
+
+
 @pytest.fixture(scope="session")
 def ref_harness():
     """Paths to the reference-linked harness binaries (builds them if the
