@@ -220,38 +220,39 @@ def _env_block(region, pos, ok, ne, frbits, n0, n1, odd, df_env, bal,
         df = df_env[:, e]
         is_dt = act & (df > 0)
         is_df = act & (df == 0)
-        # ---- time-delta row: prev row remapped by (fr, fr_prev) -------
-        tsyms, pos_t, ok_t = _decode_row_jax(
-            region, pos, tid_t, jnp.where(is_dt, nbands, 0), is_dt,
-            W_ENV, NB)
-        kk = jnp.where(
-            (fr == fr_prev)[:, None], j48,
-            jnp.where(fr[:, None] > 0, (j48 + odd[:, None]) >> 1,
-                      jnp.where(j48 > 0, 2 * j48 - odd[:, None], 0)))
-        pbase = jnp.take_along_axis(prev, kk.clip(0, NB - 1), axis=1)
-        row_dt = pbase + delta * (tsyms - lav_t)
-        # ---- freq-start row: fixed-width start + cumsum ---------------
+        # one merged classify+lift per row: time-delta lanes read
+        # `nbands` codes of the t table at pos; freq-start lanes read a
+        # fixed-width start then nbands-1 codes of the f table
         st5 = _read_bits_jax(region, pos, 5)
         st6 = _read_bits_jax(region, pos, 6)
         st7 = _read_bits_jax(region, pos, 7)
         nbits_first = jnp.where(bal > 0, nb5, nb7)
         start = jnp.where(nbits_first == 5, st5,
                           jnp.where(nbits_first == 6, st6, st7))
-        pos_f0 = pos + jnp.where(is_df, nbits_first, 0)
-        fsyms, pos_f, ok_f = _decode_row_jax(
-            region, pos_f0, tid_f,
-            jnp.where(is_df, jnp.maximum(nbands - 1, 0), 0), is_df,
-            W_ENV, NB)
+        pos0 = pos + jnp.where(is_df, nbits_first, 0)
+        tid = jnp.where(df > 0, tid_t, tid_f)
+        count = jnp.where(is_dt, nbands,
+                          jnp.where(is_df, jnp.maximum(nbands - 1, 0), 0))
+        syms, pos2, ok_r = _decode_row_jax(
+            region, pos0, tid, count, is_dt | is_df, W_ENV, NB)
+        # ---- time-delta row: prev row remapped by (fr, fr_prev) -------
+        kk = jnp.where(
+            (fr == fr_prev)[:, None], j48,
+            jnp.where(fr[:, None] > 0, (j48 + odd[:, None]) >> 1,
+                      jnp.where(j48 > 0, 2 * j48 - odd[:, None], 0)))
+        pbase = jnp.take_along_axis(prev, kk.clip(0, NB - 1), axis=1)
+        row_dt = pbase + delta * (syms - lav_t)
+        # ---- freq-start row: fixed-width start + cumsum ---------------
         deltas = jnp.concatenate(
             [(delta[:, 0] * start)[:, None],
-             delta * (fsyms[:, :NB - 1] - lav_f)], axis=1)
+             delta * (syms[:, :NB - 1] - lav_f)], axis=1)
         live = j48 < nbands[:, None]
         row_df = jnp.cumsum(jnp.where(live, deltas, 0), axis=1)
         # ---- select / mask -------------------------------------------
         row = jnp.where(is_dt[:, None], row_dt, row_df)
         row = jnp.where(live & act[:, None], row, 0)
-        pos = jnp.where(is_dt, pos_t, jnp.where(is_df, pos_f, pos))
-        ok &= ok_t & ok_f
+        pos = jnp.where(act, pos2, pos)
+        ok &= ok_r
         prev = jnp.where(act[:, None], row, prev)
         fr_prev = jnp.where(act, fr, fr_prev)
         rows = rows.at[:, e].set(row)
@@ -278,23 +279,24 @@ def _noise_block(region, pos, ok, nnoise, nq, df_noise, bal, active,
         df = df_noise[:, i]
         is_dt = act & (df > 0)
         is_df = act & (df == 0)
-        tsyms, pos_t, ok_t = _decode_row_jax(
-            region, pos, tid_t, jnp.where(is_dt, nq, 0), is_dt, W_NOI, NQ)
-        row_dt = prev + delta * (tsyms - lav_t)
+        # merged classify+lift (see _env_block)
         start = _read_bits_jax(region, pos, 5)
-        pos_f0 = pos + jnp.where(is_df, 5, 0)
-        fsyms, pos_f, ok_f = _decode_row_jax(
-            region, pos_f0, tid_f,
-            jnp.where(is_df, jnp.maximum(nq - 1, 0), 0), is_df, W_NOI, NQ)
+        pos0 = pos + jnp.where(is_df, 5, 0)
+        tid = jnp.where(df > 0, tid_t, tid_f)
+        count = jnp.where(is_dt, nq,
+                          jnp.where(is_df, jnp.maximum(nq - 1, 0), 0))
+        syms, pos2, ok_r = _decode_row_jax(
+            region, pos0, tid, count, is_dt | is_df, W_NOI, NQ)
+        row_dt = prev + delta * (syms - lav_t)
         deltas = jnp.concatenate(
             [(delta[:, 0] * start)[:, None],
-             delta * (fsyms[:, :NQ - 1] - lav_f)], axis=1)
+             delta * (syms[:, :NQ - 1] - lav_f)], axis=1)
         live = j5 < nq[:, None]
         row_df = jnp.cumsum(jnp.where(live, deltas, 0), axis=1)
         row = jnp.where(is_dt[:, None], row_dt, row_df)
         row = jnp.where(live & act[:, None], row, 0)
-        pos = jnp.where(is_dt, pos_t, jnp.where(is_df, pos_f, pos))
-        ok &= ok_t & ok_f
+        pos = jnp.where(act, pos2, pos)
+        ok &= ok_r
         prev = jnp.where(act[:, None], row, prev)
         rows = rows.at[:, i].set(row)
     return rows, pos, ok
