@@ -159,6 +159,10 @@ class SBRContext:
         self.wire_rows_bitoff = 0
         self.wire_rows_rbits = 0
         self.wire_rows_region = b""
+        # this frame carried SBR data but in byte mode (uncoupled CPE or
+        # an oversize coupled region): the side block must ship byte rows
+        # even while the element is latched in rows mode
+        self.wire_rows_datab = 0
 
 
 # ---------------------------------------------------------------------------
@@ -630,6 +634,28 @@ def read_sbr_noise(sbr: SBRContext, br: BitReader, ch_data: SBRData,
     nf[0][:] = nf[ch_data.bs_num_noise]
 
 
+def _capture_rows_region(sbr: SBRContext, br: BitReader,
+                         rows_start: int) -> None:
+    """Capture the byte-aligned dtdf..noise raw region ending at the
+    current position for device decode (wire v5, ops/sbr_huff); clears
+    `wire_rows_fresh` when the region exceeds the 640 B budget."""
+    b0 = rows_start >> 3
+    rbits = br.pos - 8 * b0
+    nby = (rbits + 7) // 8
+    if nby <= 640:
+        shift = br.nbits - 8 * b0 - 8 * nby
+        v = br._val >> shift if shift >= 0 else br._val << -shift
+        sbr.wire_rows_region = (v & ((1 << (8 * nby)) - 1)).to_bytes(
+            nby, "big")
+        sbr.wire_rows_bitoff = rows_start & 7
+        sbr.wire_rows_rbits = rbits
+        sbr.wire_rows_fresh = 1
+        sbr.wire_rows_datab = 0
+    else:
+        sbr.wire_rows_fresh = 0
+        sbr.wire_rows_datab = 1
+
+
 def _read_sbr_single_channel_element(dec, sbr: SBRContext, br: BitReader) -> None:
     if br.get1():
         br.skip(4)
@@ -644,19 +670,7 @@ def _read_sbr_single_channel_element(dec, sbr: SBRContext, br: BitReader) -> Non
     # (ops/sbr_huff); 640 B bounds the legal single-channel worst case
     # (dtdf 7 + invf 10 + 5 env rows x 947 + 2 noise rows x 85 + phase
     # = 4929 bits = 617 B)
-    b0 = rows_start >> 3
-    rbits = br.pos - 8 * b0
-    nby = (rbits + 7) // 8
-    if nby <= 640:
-        shift = br.nbits - 8 * b0 - 8 * nby
-        v = br._val >> shift if shift >= 0 else br._val << -shift
-        sbr.wire_rows_region = (v & ((1 << (8 * nby)) - 1)).to_bytes(
-            nby, "big")
-        sbr.wire_rows_bitoff = rows_start & 7
-        sbr.wire_rows_rbits = rbits
-        sbr.wire_rows_fresh = 1
-    else:
-        sbr.wire_rows_fresh = 0
+    _capture_rows_region(sbr, br, rows_start)
     sbr.data[0].bs_add_harmonic_flag = br.get1()
     if sbr.data[0].bs_add_harmonic_flag:
         for i in range(sbr.n[1]):
@@ -670,6 +684,7 @@ def _read_sbr_channel_pair_element(dec, sbr: SBRContext, br: BitReader) -> None:
     if sbr.bs_coupling:
         read_sbr_grid(sbr, br, sbr.data[0])
         copy_sbr_grid(sbr.data[1], sbr.data[0])
+        rows_start = br.pos
         read_sbr_dtdf(sbr, br, sbr.data[0])
         read_sbr_dtdf(sbr, br, sbr.data[1])
         read_sbr_invf(sbr, br, sbr.data[0])
@@ -679,6 +694,11 @@ def _read_sbr_channel_pair_element(dec, sbr: SBRContext, br: BitReader) -> None:
         read_sbr_noise(sbr, br, sbr.data[0], 0)
         read_sbr_envelope(sbr, br, sbr.data[1], 1)
         read_sbr_noise(sbr, br, sbr.data[1], 1)
+        # wire-v5 raw-rows capture, coupled CPE (both channels chained:
+        # dtdf0 dtdf1 invf env0 noise0 env1(bal) noise1(bal)); the legal
+        # coupled worst case exceeds the 640 B budget, so oversize frames
+        # demote to byte mode for THIS frame (wire_rows_datab)
+        _capture_rows_region(sbr, br, rows_start)
     else:
         read_sbr_grid(sbr, br, sbr.data[0])
         read_sbr_grid(sbr, br, sbr.data[1])
@@ -690,6 +710,9 @@ def _read_sbr_channel_pair_element(dec, sbr: SBRContext, br: BitReader) -> None:
         read_sbr_envelope(sbr, br, sbr.data[1], 1)
         read_sbr_noise(sbr, br, sbr.data[0], 0)
         read_sbr_noise(sbr, br, sbr.data[1], 1)
+        # uncoupled frames interleave per-channel grids; keep byte mode
+        sbr.wire_rows_fresh = 0
+        sbr.wire_rows_datab = 1
     for ch in (0, 1):
         sbr.data[ch].bs_add_harmonic_flag = br.get1()
         if sbr.data[ch].bs_add_harmonic_flag:

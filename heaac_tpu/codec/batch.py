@@ -137,6 +137,42 @@ def _couple_series(frames_couple: list):
     return struct, gains
 
 
+def _align_union_layout(dec) -> None:
+    """Realign dec.frames_q/frames_couple onto the union lane layout
+    (see parse_stream_qwire); frames missing an element ship silence on
+    its lane.  Error-silence rows (frames_keys None) become full-width
+    silence rows."""
+    from . import qwire
+    union: list = []
+    seen: set = set()
+    for fk in dec.frames_keys:
+        for k in fk or ():
+            if k is not None and k not in seen:
+                seen.add(k)
+                union.append(k)
+    ucce = [k for k in union if k[0] == T.TYPE_CCE]
+    union = [k for k in union if k[0] != T.TYPE_CCE] + ucce
+    pos = {k: i for i, k in enumerate(union)}
+    sil = qwire.silence_lane()
+    new_q, new_c = [], []
+    for fk, fr, cpl in zip(dec.frames_keys, dec.frames_q,
+                           dec.frames_couple):
+        row = [sil] * len(union)
+        remap: dict = {}
+        if fk is not None:
+            for i, k in enumerate(fk):
+                if k is not None and i < len(fr):
+                    row[pos[k]] = fr[i]
+                    remap[i] = pos[k]
+        new_q.append(row)
+        new_c.append([(remap[tl], ts, remap[sl], g)
+                      for (tl, ts, sl, g) in cpl
+                      if tl in remap and sl in remap])
+    dec.frames_q = new_q
+    dec.frames_couple = new_c
+    dec.out_nl = len(union) - len(ucce)
+
+
 class PlanningDecoder(Decoder):
     """Parses a mono HE-AACv2 stream into per-frame device plans instead of
     running the numpy DSP.  With ``compact=True`` (the wire default) each
@@ -406,6 +442,11 @@ class QwirePlanningDecoder(Decoder):
         # elements ride extra non-output lanes, aacdec.c:1919-1929)
         self.frames_couple: list = []
         self.out_nl = None       # output lanes (excludes CCE lanes)
+        # per-frame lane identity keys [(etype, eid, ch)] parallel to
+        # frames_q rows (None for error-silence rows): a mid-stream PCE
+        # that changes the layout is realigned onto the union layout by
+        # parse_stream_qwire instead of demoting (aacdec.c:224-302)
+        self.frames_keys: list = []
 
     def decode_frame(self, packet: bytes):
         # scope the bandpos-capture flag to THIS parse: a module-global
@@ -598,6 +639,11 @@ class QwirePlanningDecoder(Decoder):
                 lanes_out.append(qwire.assemble_lane(toks, ext, side,
                                                      header))
         self.frames_q.append(lanes_out)
+        lane_keys = [None] * len(lanes_out)
+        for k3, (ln, sub) in qpos.items():
+            if sub == 0:
+                lane_keys[ln] = k3
+        self.frames_keys.append(lane_keys)
         self.out_nl = len(lanes_out) - len(self.cce_lanes)
         self.frames_couple.append(_point3_edges_sub(self, qpos))
         self.is34_frames.append((self.cur_is34
@@ -653,6 +699,7 @@ def parse_stream_qwire(data: bytes, asc: bytes | None = None,
                     nl_ = 1
                 sil = qwire.silence_lane()
                 dec.frames_q.append([sil for _ in range(nl_)])
+                dec.frames_keys.append(None)
                 dec.frames_couple.append([])
                 dec.is34_frames.append(dec.is34_frames[-1]
                                        if dec.is34_frames else 0)
@@ -660,9 +707,14 @@ def parse_stream_qwire(data: bytes, asc: bytes | None = None,
         raise BitstreamError("no decodable frames in stream")
     nl = len(dec.frames_q[0])
     if any(len(fr) != nl for fr in dec.frames_q):
-        # a CCE (extra lane) appearing mid-stream changes the lane
-        # structure; route such streams to the single-stream decoder
-        raise NotImplementedError("lane count changes mid-stream")
+        # mid-stream layout change (a PCE reconfigure or a CCE appearing
+        # later): realign every frame onto the UNION layout -- stable
+        # lane slots keyed by (etype, eid, ch), output lanes first, CCE
+        # lanes last, silence where an element is absent.  This is the
+        # batched analogue of the reference's in-stream output_configure
+        # (aacdec.c:224-302, aac.h:104-110 OCStatus).
+        _align_union_layout(dec)
+        nl = len(dec.frames_q[0])
     if err_out is not None:
         err_out.append(dec.error_count)
     if is34_out is not None:
@@ -748,6 +800,7 @@ class QStreamBatchDecoder:
         sa = qwire.spec_static_args(recs)
         self.NB, self.MS = sa["NB"], sa["MS"]
         self.NS, self.SEC = sa["NS"], sa["SEC"]
+        self.RP = qwire.rows_pair_static(heap, recs)
         self.rate_idx = parse_adts_header(
             BitReader(bytes(streams[0][:7]))).sampling_index
         self.heap_w = np.frombuffer(bytes(heap), np.float32)
@@ -769,7 +822,8 @@ class QStreamBatchDecoder:
         if self._couple is not None:
             run = qwire_scan_decoder_couple(self.is34, self.ds, self.S,
                                             self.rate_idx, self.NB,
-                                            self.MS, self.NS, self.SEC)
+                                            self.MS, self.NS, self.SEC,
+                                            self.RP)
             etgt, etch, esrc, gains = self._couple
             _, pcm = run(jax.device_put(self.heap_w),
                          jax.device_put(self.rec_w), carry,
@@ -778,7 +832,7 @@ class QStreamBatchDecoder:
             return pcm
         run = qwire_scan_decoder(self.is34, self.ds, self.S,
                                  self.rate_idx, self.NB, self.MS, self.NS,
-                                 self.SEC)
+                                 self.SEC, self.RP)
         _, pcm = run(jax.device_put(self.heap_w),
                      jax.device_put(self.rec_w), carry)
         return pcm
@@ -824,6 +878,7 @@ def decode_qwire_flip_stream(data: bytes,
     S = -(-S // 64) * 64
     sa = qwire.spec_static_args(recs)
     NB, NS, SEC = sa["NB"], sa["NS"], sa["SEC"]
+    RP = qwire.rows_pair_static(heap, recs)
     rate_idx = parse_adts_header(BitReader(bytes(data[:7]))).sampling_index
     carry = init_qwire_flip_carry(nl)
     couple = _flatten_couple([info.get("couple")], nl, T)
@@ -831,14 +886,15 @@ def decode_qwire_flip_stream(data: bytes,
         # flips + AFTER_IMDCT CCE in the same stream: the flip scan keeps
         # float output and the coupling mixes at the output rate before
         # int16 rounding (aacdec.c:1919-1929)
-        run = qwire_scan_decoder_flip_couple(ds, S, rate_idx, NB, NS, SEC)
+        run = qwire_scan_decoder_flip_couple(ds, S, rate_idx, NB, NS, SEC,
+                                             RP)
         etgt, etch, esrc, gains = couple
         _, pcm = run(jax.device_put(np.frombuffer(bytes(heap), np.float32)),
                      jax.device_put(recs.view(np.float32)), carry,
                      jax.device_put(etgt), jax.device_put(etch),
                      jax.device_put(esrc), jax.device_put(gains))
     else:
-        run = qwire_scan_decoder_flip(ds, S, rate_idx, NB, NS, SEC)
+        run = qwire_scan_decoder_flip(ds, S, rate_idx, NB, NS, SEC, RP)
         _, pcm = run(jax.device_put(np.frombuffer(bytes(heap), np.float32)),
                      jax.device_put(recs.view(np.float32)), carry)
     pcm = np.asarray(pcm)            # [T, nl, 2, 2048|1024]
@@ -925,6 +981,7 @@ class QwirePipelinedDecoder:
         self.MS = 0              # any device-M/S spec pairs seen so far
         self.NS = 52             # band-axis width (128 once shorts seen)
         self.SEC = 8             # section-axis width (grows per group)
+        self.RP = 0              # any coupled-CPE raw-rows lanes seen
         self.rate_idx = hdr.sampling_index
         self.L = self.G * self.nl
         self.frame_counts: list = []
@@ -1078,6 +1135,7 @@ class QwirePipelinedDecoder:
         self.MS = max(self.MS, sa["MS"])
         self.NS = max(self.NS, sa["NS"])
         self.SEC = max(self.SEC, sa["SEC"])
+        self.RP = max(self.RP, qwire.rows_pair_static(heap[:cur], recs[:T]))
         self._cur_couple = _flatten_couple(couples, self.nl, T)
         return heap, cur, recs
 
@@ -1109,7 +1167,8 @@ class QwirePipelinedDecoder:
             if couple is not None:
                 run = qwire_scan_decoder_couple(self.is34, self.ds, self.S,
                                                 self.rate_idx, self.NB,
-                                                self.MS, self.NS, self.SEC)
+                                                self.MS, self.NS, self.SEC,
+                                                self.RP)
                 etgt, etch, esrc, gains = couple
                 _, pcm = run(jax.device_put(heap_w),
                              jax.device_put(recs[:Tg].view(np.float32)),
@@ -1119,7 +1178,7 @@ class QwirePipelinedDecoder:
                 return pcm
             run = qwire_scan_decoder(self.is34, self.ds, self.S,
                                      self.rate_idx, self.NB, self.MS,
-                                     self.NS, self.SEC)
+                                     self.NS, self.SEC, self.RP)
             _, pcm = run(jax.device_put(heap_w),
                          jax.device_put(recs[:Tg].view(np.float32)), carry)
             return pcm

@@ -186,15 +186,15 @@ def init_qwire_carry(B: int):
 
 
 def heaac_frame_qwire(coeffs, rec, heap, carry, is34: int = 0,
-                      downsampled: int = 0):
+                      downsampled: int = 0, rows_pair: int = 0):
     """One frame for B lanes from the quantized wire format: rec [B,8] i32
     records + shared heap (byte values as i32); coeffs already token-decoded
     [B,1024].  carry = (HeaacState, ps_hist, qwire carry)."""
     from . import compact_plan, qwire
     state, ph, qc = carry
     with jax.named_scope("expand_qwire"):
-        core_meta, plan, pc, qc2 = qwire.expand_frame_jax(heap, rec, qc,
-                                                          is34)
+        core_meta, plan, pc, qc2 = qwire.expand_frame_jax(
+            heap, rec, qc, is34, rows_pair)
         ps_plan, ph2 = compact_plan.expand_ps(pc, ph, is34)
     core = dict(coeffs=coeffs, **core_meta)
     pcm, state2 = heaac_frame(core, plan, ps_plan, state, is34, downsampled)
@@ -255,7 +255,7 @@ def _qwire_decode_all_coeffs(heap_w, rec_w, S: int, rate_idx: int, NB: int,
 @functools.cache
 def qwire_scan_decoder(is34: int, downsampled: int, S: int,
                        rate_idx: int = -1, NB: int = 0, MS: int = 0,
-                       NS: int = 52, SEC: int = 31):
+                       NS: int = 52, SEC: int = 31, rows_pair: int = 0):
     """jit of: token-decode all frames' coeffs in one parallel pass, then
     scan the fused frame graph over T frames.  heap_w is the f32-viewed
     packed byte heap; rec_seq [T, L, REC_W] i32 bit patterns as f32.
@@ -272,7 +272,7 @@ def qwire_scan_decoder(is34: int, downsampled: int, S: int,
         def body(c, xs):
             rec_t, coef_t = xs
             pcm, c2 = heaac_frame_qwire(coef_t, rec_t, heap, c, is34,
-                                        downsampled)
+                                        downsampled, rows_pair)
             pcm16 = jnp.clip(jnp.rint(pcm), -32768, 32767).astype(jnp.int16)
             return c2, pcm16
 
@@ -285,7 +285,8 @@ def qwire_scan_decoder(is34: int, downsampled: int, S: int,
 @functools.cache
 def qwire_scan_decoder_couple(is34: int, downsampled: int, S: int,
                               rate_idx: int = -1, NB: int = 0, MS: int = 0,
-                              NS: int = 52, SEC: int = 31):
+                              NS: int = 52, SEC: int = 31,
+                              rows_pair: int = 0):
     """qwire_scan_decoder with AFTER_IMDCT channel coupling: the scan
     keeps float output, then the coupling mix adds gain * src-lane time
     signal into each target (lane, stereo-sub) pair at the OUTPUT rate —
@@ -304,7 +305,7 @@ def qwire_scan_decoder_couple(is34: int, downsampled: int, S: int,
         def body(c, xs):
             rec_t, coef_t = xs
             pcm, c2 = heaac_frame_qwire(coef_t, rec_t, heap, c, is34,
-                                        downsampled)
+                                        downsampled, rows_pair)
             return c2, pcm
 
         carry, pcm = jax.lax.scan(body, carry, (rec_seq, coeffs))
@@ -341,7 +342,7 @@ def _convert_ps_flip(state: HeaacState, ph: dict, to34, to20):
 
 
 def _flip_scan(heap_w, rec_w, carry, downsampled, S, rate_idx, NB, NS,
-               SEC, to_int16: bool):
+               SEC, to_int16: bool, rows_pair: int = 0):
     """Shared flip-capable scan: the PS band mode is per lane per FRAME
     (side bit 6, qwire.build_side), so one compiled graph decodes streams
     whose 20<->34 mode flips mid-stream — the PS stage runs both band
@@ -362,7 +363,7 @@ def _flip_scan(heap_w, rec_w, carry, downsampled, S, rate_idx, NB, NS,
         rec_t, coef_t = xs
         with jax.named_scope("expand_qwire"):
             core_meta, plan, pc, qc2 = qwire.expand_frame_jax(
-                heap, rec_t, qc, -1)
+                heap, rec_t, qc, -1, rows_pair)
             m34 = pc.pop("m34")
             active = pc["pc_i"][:, CP.PI_ON] > 0
             to34 = active & (m34 > 0) & (m34_prev == 0)
@@ -388,12 +389,13 @@ def _flip_scan(heap_w, rec_w, carry, downsampled, S, rate_idx, NB, NS,
 
 @functools.cache
 def qwire_scan_decoder_flip(downsampled: int, S: int, rate_idx: int = -1,
-                            NB: int = 0, NS: int = 52, SEC: int = 31):
+                            NB: int = 0, NS: int = 52, SEC: int = 31,
+                            rows_pair: int = 0):
     """Flip-capable variant of qwire_scan_decoder (see _flip_scan)."""
 
     def run(heap_w, rec_w, carry):
         return _flip_scan(heap_w, rec_w, carry, downsampled, S, rate_idx,
-                          NB, NS, SEC, to_int16=True)
+                          NB, NS, SEC, to_int16=True, rows_pair=rows_pair)
 
     return jax.jit(run, donate_argnums=(2,))
 
@@ -401,7 +403,8 @@ def qwire_scan_decoder_flip(downsampled: int, S: int, rate_idx: int = -1,
 @functools.cache
 def qwire_scan_decoder_flip_couple(downsampled: int, S: int,
                                    rate_idx: int = -1, NB: int = 0,
-                                   NS: int = 52, SEC: int = 31):
+                                   NS: int = 52, SEC: int = 31,
+                                   rows_pair: int = 0):
     """Flip-capable scan + AFTER_IMDCT channel coupling: combines
     qwire_scan_decoder_flip's per-frame PS band-mode handling with
     qwire_scan_decoder_couple's output-rate post-scan mix
@@ -410,7 +413,8 @@ def qwire_scan_decoder_flip_couple(downsampled: int, S: int,
 
     def run(heap_w, rec_w, carry, etgt, etch, esrc, gains):
         carry, pcm = _flip_scan(heap_w, rec_w, carry, downsampled, S,
-                                rate_idx, NB, NS, SEC, to_int16=False)
+                                rate_idx, NB, NS, SEC, to_int16=False,
+                                rows_pair=rows_pair)
         add = gains[:, :, None] * pcm[:, esrc, 0]       # [T, K, N]
         pcm = pcm.at[:, etgt, etch].add(add)
         return carry, jnp.clip(jnp.rint(pcm), -32768, 32767)\

@@ -103,6 +103,23 @@ def spec_static_args(recs) -> dict:
         NS=128 if ((w3s >> 30) & 1).any() else 52,
         SEC=max(8, -(-int(((w3s >> 13) & 31).max()) // 8) * 8))
 
+
+def rows_pair_static(heap, recs) -> int:
+    """1 iff any frame-lane ships coupled-CPE raw SBR rows (side flags
+    bit 7 rows-mode AND bit 2 coupled), i.e. the scan graph needs the
+    pair=True row-decode blocks (ops/sbr_huff).  `heap` is the packed
+    byte heap (bytes/bytearray/u8 array), `recs` [.., REC_W] i32."""
+    import numpy as np
+    recs = np.asarray(recs)
+    h = np.frombuffer(bytes(heap), np.uint8) if isinstance(
+        heap, (bytes, bytearray)) else np.asarray(heap, np.uint8)
+    if h.size == 0:
+        return 0
+    w1 = recs[..., R_W1]
+    soff = (recs[..., R_TOKOFF] + (w1 & 0xFFFF) + ((w1 >> 16) & 0xFFFF))
+    flags = h[np.clip(soff + 1, 0, h.size - 1)]
+    return int(bool(((flags & 0x84) == 0x84).any()))
+
 # ---- side block v2 (packed head) -------------------------------------------
 # b0: ws(2) | kbd<<2 | err<<3 | hsl_on<<4 | ampres<<5 | bw_present<<6
 #     | kxm0_diff<<7
@@ -336,22 +353,26 @@ def build_side(sbr, ch: int, id_aac: int, err: int = 0,
 
     b = b + opt
     rows_fresh = int(getattr(sbr, "wire_rows_fresh", 0))
-    if id_aac != TYPE_CPE and ch == 0 and rows_fresh:
+    rows_el = (id_aac != TYPE_CPE and ch == 0) or id_aac == TYPE_CPE
+    if rows_el and rows_fresh:
         sbr.wire_rows_mode = 1       # latched: see he_host.inc Sbr
-    if id_aac != TYPE_CPE and ch == 0 \
-            and int(getattr(sbr, "wire_rows_mode", 0)):
+    if rows_el and int(getattr(sbr, "wire_rows_mode", 0)) \
+            and not int(getattr(sbr, "wire_rows_datab", 0)):
         # wire v5 raw-rows block: u16 LE rbits(13)|phase(3), then the
         # byte-aligned dtdf..noise region (device decode, ops/sbr_huff).
         # b[1] bit 6 is the flip-graph is34 flag; raw-rows rides bit 7.
         # Dataless frames ship rbits=0: the device replays its carried
-        # decoded rows (delta regions are not idempotent).
+        # decoded rows (delta regions are not idempotent).  Coupled CPE
+        # frames ship the SAME region on both lanes (the device decodes
+        # both channels' chained rows per lane, pair=True graphs).
         b[1] |= 1 << 7
         if rows_fresh:
             rb = int(sbr.wire_rows_rbits)
             ph = int(sbr.wire_rows_bitoff)
             b.extend((rb | (ph << 13)).to_bytes(2, "little"))
             b.extend(sbr.wire_rows_region[:(rb + 7) // 8])
-            sbr.wire_rows_fresh = 0
+            if id_aac != TYPE_CPE or ch == 1:
+                sbr.wire_rows_fresh = 0
         else:
             b.extend(b"\x00\x00")
     else:
@@ -661,6 +682,9 @@ def init_qcarry(B: int):
         sbrrows=_sbr_rows_carry(B),
         sbr_ec=jnp.zeros((B, 5, M), jnp.int32),
         sbr_qc=jnp.zeros((B, 2, NB_Q), jnp.int32),
+        # coupled-CPE pan channel replay rows (rows_pair graphs)
+        sbr_pc=jnp.zeros((B, 5, M), jnp.int32),
+        sbr_qpc=jnp.zeros((B, 2, NB_Q), jnp.int32),
     )
 
 
@@ -669,7 +693,7 @@ def _sbr_rows_carry(B: int):
     return sbr_huff.init_rows_carry(B)
 
 
-def expand_frame_jax(heap, rec, carry, is34: int = 0):
+def expand_frame_jax(heap, rec, carry, is34: int = 0, rows_pair: int = 0):
     """rec [B, REC_W] i32 + heap + carry -> (core_meta, sbr dense plan,
     ps plan, new carry).  The device analogue of
     compact_plan.build_sbr_compact + expand_sbr and build_ps_compact +
@@ -821,12 +845,16 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
         .reshape(B, -1), axis=1).reshape(B, 2, NB_Q)
     after_noise = after_env + ntotal * (1 + coupled)
 
-    # ---- wire-v5 raw-rows block (SCE lanes, ops/sbr_huff) ------------------
+    # ---- wire-v5 raw-rows block (ops/sbr_huff) -----------------------------
     # flag bit 7: the env/noise code bytes are replaced by a u16 LE
     # rbits(13)|phase(3) field + the raw dtdf..noise region; rbits==0
-    # replays the carried decoded rows (dataless frames).
+    # replays the carried decoded rows (dataless frames).  `rows_pair`
+    # (static) adds the coupled-CPE channel blocks to the graph: both
+    # lanes of a coupled pair ship the same region and each decodes both
+    # channels' chained rows (read_sbr_cpe, aacsbr.c:940-980).
     from ..ops import sbr_huff
     rows_on = ((flags >> 7) & 1) * start
+    byte_act = (start > 0) & (rows_on == 0)
     rr_off = soff[:, 0]
     lp16 = g1(rr_off) | (g1(rr_off + 1) << 8)
     rr_rbits = (lp16 & 0x1FFF) * rows_on
@@ -837,20 +865,41 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
         side, ((rr_off + 2)[:, None]
                + jnp.arange(sbr_huff.RW)[None, :]).clip(0, SIDE_MAX - 1),
         axis=1)
-    ec_r, _, qc_r, _, _rows_ok, sbrrows_new = sbr_huff.decode_sbr_rows_jax(
-        region, rr_phase, rr_rbits, ne=ne, nnoise=nnoise, frbits=frbits,
-        n0=n0, n1=n1, nq=nq, coupled=jnp.zeros_like(ne), ampres=ampres,
-        active=rows_live, carry=carry["sbrrows"], pair=False)
+    ec_r, pc_r, qc_r, qpc_r, _rows_ok, sbrrows_new = \
+        sbr_huff.decode_sbr_rows_jax(
+            region, rr_phase, rr_rbits, ne=ne, nnoise=nnoise,
+            frbits=frbits, n0=n0, n1=n1, nq=nq,
+            coupled=coupled if rows_pair else jnp.zeros_like(ne),
+            ampres=ampres, active=rows_live, carry=carry["sbrrows"],
+            pair=bool(rows_pair))
     # the host walk validated the region, so _rows_ok only trips on
-    # wire corruption; the dequant clip bounds the fallout either way
+    # wire corruption; the dequant clip bounds the fallout either way.
+    # Byte-mode frames refresh the replay carries too (a CPE element can
+    # demote per frame: uncoupled / oversize-region frames).
     ec_w = ec_r & 0xFF
     qc_w = qc_r & 0xFF
     er_last = jnp.where(rows_live[:, None, None], ec_w,
-                        carry["sbr_ec"])
+                        jnp.where(byte_act[:, None, None], ecodes,
+                                  carry["sbr_ec"]))
     qr_last = jnp.where(rows_live[:, None, None], qc_w,
-                        carry["sbr_qc"])
+                        jnp.where(byte_act[:, None, None], qcodes,
+                                  carry["sbr_qc"]))
     ecodes = jnp.where((rows_on > 0)[:, None, None], er_last, ecodes)
     qcodes = jnp.where((rows_on > 0)[:, None, None], qr_last, qcodes)
+    if rows_pair:
+        bcp = byte_act & (coupled > 0)
+        pr_last = jnp.where(rows_live[:, None, None], pc_r & 0xFF,
+                            jnp.where(bcp[:, None, None], pcodes,
+                                      carry["sbr_pc"]))
+        qpr_last = jnp.where(rows_live[:, None, None], qpc_r & 0xFF,
+                             jnp.where(bcp[:, None, None], qpcodes,
+                                       carry["sbr_qpc"]))
+        pcodes = jnp.where((rows_on > 0)[:, None, None], pr_last, pcodes)
+        qpcodes = jnp.where((rows_on > 0)[:, None, None], qpr_last,
+                            qpcodes)
+    else:
+        pr_last = carry["sbr_pc"]
+        qpr_last = carry["sbr_qpc"]
     after_noise = jnp.where(rows_on > 0, rr_off + 2 + rr_bytes,
                             after_noise)
     ah_off = after_noise
@@ -1171,7 +1220,6 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
         return jnp.take_along_axis(
             rows, idx[:, None, None] * jnp.ones((1, 1, w), jnp.int32),
             axis=1)[:, 0]
-    byte_act = (start > 0) & (rows_on == 0)
     el = sbrrows_new["env_last"]
     nl = sbrrows_new["noise_last"]
     fl = sbrrows_new["fr_last"]
@@ -1201,5 +1249,7 @@ def expand_frame_jax(heap, rec, carry, is34: int = 0):
         ps_pcb=jnp.where(upd[:, None], pc_b_new, carry["ps_pcb"]),
         sbrrows=sbrrows_carry,
         sbr_ec=er_last,
-        sbr_qc=qr_last)
+        sbr_qc=qr_last,
+        sbr_pc=pr_last,
+        sbr_qpc=qpr_last)
     return core_meta, plan, pc, new_carry

@@ -899,12 +899,15 @@ def _write_pce(bw: BitWriter, sampling_index: int, num_cc: int = 1) -> None:
 
 
 def splice_cce_into_lc(lc_adts: bytes, coupling_point: str = "before",
-                       seed: int = 0) -> bytes:
+                       seed: int = 0, start_frame: int = 0) -> bytes:
     """Rebuild a mono LC ADTS stream as PCE-configured (chan_config=0) with
     a coupling channel element appended each frame (gain list c=0 only, so
     no gain bits; aacdec.c:1533-1544).  coupling_point: "before" (0,
     BEFORE_TNS), "between" (1, BETWEEN_TNS_AND_IMDCT), "after" (3,
-    AFTER_IMDCT)."""
+    AFTER_IMDCT).  With ``start_frame`` > 0, earlier frames carry a
+    num_cc=0 PCE and no CCE -- the layout (and lane count) changes
+    mid-stream, the reference's output_configure case
+    (aacdec.c:224-302)."""
     from ..codec.encoder import ONLY_LONG, AacEncoder, _forward_matrices
 
     frames = split_adts_stream(lc_adts)
@@ -925,9 +928,26 @@ def splice_cce_into_lc(lc_adts: bytes, coupling_point: str = "before",
         dec._parse_raw_data_block(dec_br)
         end_pos = dec._end_bitpos
 
+        with_cce = fi >= start_frame
         bw = BitWriter()
-        _write_pce(bw, hdr0.sampling_index)
+        _write_pce(bw, hdr0.sampling_index, num_cc=int(with_cce))
         bw.put_bits_from(f, body_start, end_pos - body_start)
+        if not with_cce:
+            bw.put(3, T.TYPE_END)
+            bw.align()
+            body = bw.bytes()
+            hb = BitWriter()
+            hb.put(12, 0xFFF); hb.put1(0); hb.put(2, 0); hb.put1(1)
+            hb.put(2, hdr0.object_type - 1)
+            hb.put(4, hdr0.sampling_index)
+            hb.put1(0)
+            hb.put(3, 0)
+            hb.put(4, 0)
+            hb.put(13, 7 + len(body))
+            hb.put(11, 0x7FF)
+            hb.put(2, 0)
+            out += hb.bytes() + body
+            continue
         # CCE element (aacdec.c:1503-1531)
         bw.put(3, T.TYPE_CCE)
         bw.put(4, 0)

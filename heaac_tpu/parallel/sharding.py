@@ -145,7 +145,8 @@ class ShardedQwireDecoder:
                 # collective for the cross-shard gather
                 run = qwire_scan_decoder_couple(dec.is34, dec.ds, dec.S,
                                                 dec.rate_idx, dec.NB,
-                                                dec.MS, dec.NS, dec.SEC)
+                                                dec.MS, dec.NS, dec.SEC,
+                                                dec.RP)
                 etgt, etch, esrc, gains = dec._cur_couple
                 _, pcm = run(heap_w, rec_w, carry,
                              jax.device_put(etgt, self._sh_rep),
@@ -155,7 +156,7 @@ class ShardedQwireDecoder:
             else:
                 run = qwire_scan_decoder(dec.is34, dec.ds, dec.S,
                                          dec.rate_idx, dec.NB, dec.MS,
-                                         dec.NS, dec.SEC)
+                                         dec.NS, dec.SEC, dec.RP)
                 _, pcm = run(heap_w, rec_w, carry)
             outs.append(pcm)
         jax.block_until_ready(outs[-1])

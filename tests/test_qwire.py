@@ -42,8 +42,11 @@ def test_qwire_plan_equivalence(ref_harness, cfg):
     assert len(frames_q) == T
 
     expand_old = jax.jit(compact_plan.expand_sbr)
+    # coupled-CPE streams ship raw SBR rows for both channels -> the
+    # expansion graph needs the pair=True row-decode blocks
+    rp = int(cfg == "cpe")
     expand_new = jax.jit(lambda h, r, c: qwire.expand_frame_jax(
-        h, r, c, is34))
+        h, r, c, is34, rp))
     carry = qwire.init_qcarry(nl)
     for t in range(T):
         heap = bytearray()
